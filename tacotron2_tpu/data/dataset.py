@@ -1,0 +1,147 @@
+"""Preprocessed (text, mel) dataset and static-shape batch assembly.
+
+Counterpart of the reference's dataset + collate pair
+(reference: src/data_utils.py:9-83), redesigned for XLA:
+
+  * the collate's dynamic max-length padding (src/data_utils.py:57-61) is
+    replaced by *quantized* padding — padded dims are rounded up to fixed
+    multiples so the jitted train step sees a small, finite set of shapes
+    instead of one shape per batch;
+  * batches keep the reference's sort-by-text-length-descending order
+    (src/data_utils.py:54-56);
+  * everything returned is a numpy array, ready for a single host->device
+    transfer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .metadata import basename_of, read_metadata
+
+
+@dataclasses.dataclass
+class Example:
+    text: np.ndarray   # (T_text,) int32
+    mel: np.ndarray    # (n_mels, T_mel) float32
+    speaker_id: int = 0
+
+
+class TextMelDataset:
+    """Loads preprocessed ``.npy`` caches listed in a metadata CSV."""
+
+    def __init__(self, metadata_path: str):
+        self.rows = read_metadata(metadata_path)
+        self.data_dir = os.path.dirname(os.path.abspath(metadata_path))
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def __getitem__(self, index: int) -> Example:
+        row = self.rows[index]
+        base = basename_of(row["filepath"])
+        text = np.load(os.path.join(self.data_dir, "text", f"{base}.npy"))
+        mel = np.load(os.path.join(self.data_dir, "mels", f"{base}.npy"))
+        speaker = int(row.get("speaker_id", 0) or 0)
+        return Example(text=text.astype(np.int32),
+                       mel=mel.astype(np.float32), speaker_id=speaker)
+
+    def text_length(self, index: int) -> int:
+        row = self.rows[index]
+        base = basename_of(row["filepath"])
+        return int(np.load(os.path.join(self.data_dir, "text",
+                                        f"{base}.npy")).shape[0])
+
+
+def _round_up(x: int, multiple: int) -> int:
+    return -(-x // multiple) * multiple
+
+
+def collate(examples: Sequence[Example], text_pad_multiple: int = 32,
+            mel_pad_multiple: int = 64,
+            fixed_text_len: Optional[int] = None,
+            fixed_mel_len: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Assemble a static-shape batch dict.
+
+    Sorts by text length descending (reference: src/data_utils.py:54-56),
+    zero-pads text and mel, quantizes padded dims.
+    """
+    order = np.argsort([-len(e.text) for e in examples], kind="stable")
+    examples = [examples[i] for i in order]
+
+    text_lengths = np.asarray([len(e.text) for e in examples], dtype=np.int32)
+    mel_lengths = np.asarray([e.mel.shape[1] for e in examples],
+                             dtype=np.int32)
+    t_text = fixed_text_len or _round_up(int(text_lengths.max()),
+                                         text_pad_multiple)
+    t_mel = fixed_mel_len or _round_up(int(mel_lengths.max()),
+                                       mel_pad_multiple)
+    n_mels = examples[0].mel.shape[0]
+
+    b = len(examples)
+    text = np.zeros((b, t_text), dtype=np.int32)
+    mel = np.zeros((b, n_mels, t_mel), dtype=np.float32)
+    for i, e in enumerate(examples):
+        text[i, :len(e.text)] = e.text
+        mel[i, :, :e.mel.shape[1]] = e.mel
+    speakers = np.asarray([e.speaker_id for e in examples], dtype=np.int32)
+    return {"text": text, "text_lengths": text_lengths, "mel": mel,
+            "mel_lengths": mel_lengths, "speaker_ids": speakers}
+
+
+class BatchLoader:
+    """Shuffling epoch iterator producing static-shape batches.
+
+    Replaces the reference's ``DataLoader(shuffle=True, num_workers=0)``
+    (reference: train.py:314-317).  ``drop_last`` keeps every batch the same
+    size B (a hard requirement under jit).
+    """
+
+    def __init__(self, dataset: TextMelDataset, batch_size: int,
+                 seed: int = 1234, shuffle: bool = True,
+                 text_pad_multiple: int = 32, mel_pad_multiple: int = 64,
+                 sort_pool: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.text_pad_multiple = text_pad_multiple
+        self.mel_pad_multiple = mel_pad_multiple
+        self.sort_pool = sort_pool
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.dataset) // self.batch_size
+
+    def _epoch_order(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        if self.sort_pool and len(idx) > self.batch_size:
+            # Length-aware pooling: sort shuffled indices by text length in
+            # pools of 32 batches, then shuffle the batch order.  Keeps
+            # batches length-homogeneous (less padding waste, fewer shapes)
+            # while preserving stochasticity.
+            pool = self.batch_size * 32
+            chunks = []
+            for s in range(0, len(idx), pool):
+                chunk = idx[s:s + pool]
+                lens = np.asarray([self.dataset.text_length(i) for i in chunk])
+                chunks.append(chunk[np.argsort(-lens, kind="stable")])
+            idx = np.concatenate(chunks)
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self._epoch_order()
+        n_batches = len(idx) // self.batch_size
+        batch_starts = np.arange(n_batches) * self.batch_size
+        if self.shuffle:
+            self._rng.shuffle(batch_starts)
+        for s in batch_starts:
+            members = [self.dataset[int(i)]
+                       for i in idx[s:s + self.batch_size]]
+            yield collate(members, self.text_pad_multiple,
+                          self.mel_pad_multiple)
