@@ -87,6 +87,11 @@ class ModelConfig:
     postnet_kernel_size: int = 5
     postnet_n_convolutions: int = 5
 
+    # Multi-speaker extension (new capability; the reference records
+    # speaker_id in metadata but never consumes it, prepare_metadata.py:47-51)
+    n_speakers: int = 1
+    speaker_embedding_dim: int = 64
+
     # BatchNorm running-stat momentum (torch nn.BatchNorm1d default)
     batchnorm_momentum: float = 0.1
     batchnorm_eps: float = 1e-5

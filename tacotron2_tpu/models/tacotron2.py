@@ -1,0 +1,179 @@
+"""Full Tacotron 2 model: encoder + decoder + postnet (+ optional speaker).
+
+Functional re-design of the reference top-level module
+(reference: src/model.py:410-501).  Parameters and BatchNorm running stats
+are explicit pytrees; forward/infer are pure functions ready for
+jit/grad/pjit.  Reference quirks preserved:
+
+  * lazy projection-bias init to per-channel mel means of the first batch
+    (src/model.py:424-441) — exposed as :func:`init_projection_bias`, which
+    the train loop applies once (a functional param update instead of an
+    in-place mutation);
+  * ``use_postnet`` bypass for the postnet freeze phase (src/model.py:474-479);
+  * additive -1e9 attention masking of encoder padding built from text
+    lengths (src/model.py:443-450);
+  * inference warns on outputs shorter than 3 frames (src/model.py:496-497)
+    — surfaced via the returned frame count, checked by the caller.
+
+New capability: optional multi-speaker conditioning (``cfg.n_speakers > 1``)
+via a learned speaker embedding projected and broadcast-added to the
+encoder memory; the reference carries speaker_id in metadata but never uses
+it (prepare_metadata.py:47-51).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from .decoder import decoder_infer, decoder_init, decoder_teacher_forced
+from .encoder import encoder_apply, encoder_init
+from .layers import embedding_init, linear_apply, linear_init
+from .postnet import postnet_apply, postnet_init
+
+
+class Tacotron2Output(NamedTuple):
+    mel_postnet: jnp.ndarray   # (B, T_dec, n_mels)
+    mel_coarse: jnp.ndarray    # (B, T_dec, n_mels)
+    gate_logits: jnp.ndarray   # (B, T_dec)
+    alignments: jnp.ndarray    # (B, T_dec, T_enc)
+
+
+def tacotron2_init(key, cfg: ModelConfig
+                   ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Returns (params, state); state carries BatchNorm running stats."""
+    k_enc, k_dec, k_post, k_spk = jax.random.split(key, 4)
+    enc_p, enc_s = encoder_init(k_enc, cfg)
+    post_p, post_s = postnet_init(k_post, cfg)
+    params: Dict[str, Any] = {
+        "encoder": enc_p,
+        "decoder": decoder_init(k_dec, cfg),
+        "postnet": post_p,
+    }
+    if cfg.n_speakers > 1:
+        k_emb, k_proj = jax.random.split(k_spk)
+        params["speaker"] = {
+            "embedding": embedding_init(k_emb, cfg.n_speakers,
+                                        cfg.speaker_embedding_dim),
+            "proj": linear_init(k_proj, cfg.speaker_embedding_dim,
+                                cfg.encoder_embedding_dim, bias=False),
+        }
+    state = {"encoder": enc_s, "postnet": post_s}
+    return params, state
+
+
+def make_pad_mask(lengths: jnp.ndarray, max_len: int) -> jnp.ndarray:
+    """(B,) lengths -> (B, max_len) bool mask, True where padding
+    (reference: src/model.py:443-450)."""
+    ids = jnp.arange(max_len)[None, :]
+    return ids >= lengths[:, None]
+
+
+def init_projection_bias(params: Dict[str, Any],
+                         mel_targets: jnp.ndarray) -> Dict[str, Any]:
+    """Set the decoder projection bias to per-channel mel means of a batch
+    (reference: src/model.py:424-441).  Returns updated params."""
+    channel_means = jnp.mean(mel_targets, axis=(0, 2))  # (n_mels,)
+    new = jax.tree_util.tree_map(lambda x: x, params)   # shallow-ish copy
+    new["decoder"] = dict(params["decoder"])
+    new["decoder"]["proj"] = dict(params["decoder"]["proj"])
+    new["decoder"]["proj"]["b"] = channel_means.astype(
+        params["decoder"]["proj"]["b"].dtype)
+    return new
+
+
+def _condition_memory(params: Dict[str, Any], memory: jnp.ndarray,
+                      speaker_ids: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if "speaker" in params and speaker_ids is not None:
+        emb = jnp.take(params["speaker"]["embedding"]["table"], speaker_ids,
+                       axis=0)                               # (B, spk_dim)
+        memory = memory + linear_apply(params["speaker"]["proj"],
+                                       emb)[:, None, :]
+    return memory
+
+
+def tacotron2_forward(params: Dict[str, Any], state: Dict[str, Any],
+                      cfg: ModelConfig, text: jnp.ndarray,
+                      mel_targets: jnp.ndarray,
+                      text_lengths: Optional[jnp.ndarray], rng,
+                      train: bool, use_postnet: bool = True,
+                      speaker_ids: Optional[jnp.ndarray] = None
+                      ) -> Tuple[Tacotron2Output, Dict[str, Any]]:
+    """Teacher-forced forward pass.
+
+    Args:
+        text: (B, T_enc) int32 token IDs (zero-padded).
+        mel_targets: (B, n_mels, T_dec) float32 (reference layout).
+        text_lengths: (B,) true lengths; None = assume unpadded
+            (reference: src/model.py:462-469).
+    Returns:
+        (Tacotron2Output, new_state)
+    """
+    b, t_enc = text.shape
+    if train:
+        rng_dec, rng_post = jax.random.split(rng)
+    else:
+        rng_dec = rng_post = jnp.zeros((2,), jnp.uint32)
+
+    memory, enc_state = encoder_apply(params["encoder"], state["encoder"],
+                                      text, cfg, train)
+    memory = _condition_memory(params, memory, speaker_ids)
+    if text_lengths is None:
+        text_lengths = jnp.full((b,), t_enc, jnp.int32)
+    enc_mask = make_pad_mask(text_lengths, t_enc)
+
+    mel_coarse, gate_logits, alignments = decoder_teacher_forced(
+        params["decoder"], cfg, memory, mel_targets, enc_mask, rng_dec, train)
+
+    post_state = state["postnet"]
+    if use_postnet:
+        residual, post_state = postnet_apply(
+            params["postnet"], state["postnet"],
+            jnp.swapaxes(mel_coarse, 1, 2), cfg, rng_post, train)
+        mel_postnet = mel_coarse + jnp.swapaxes(residual, 1, 2)
+    else:
+        mel_postnet = mel_coarse  # postnet-freeze bypass
+
+    out = Tacotron2Output(mel_postnet=mel_postnet, mel_coarse=mel_coarse,
+                          gate_logits=gate_logits, alignments=alignments)
+    return out, {"encoder": enc_state, "postnet": post_state}
+
+
+def tacotron2_infer(params: Dict[str, Any], state: Dict[str, Any],
+                    cfg: ModelConfig, text: jnp.ndarray,
+                    max_steps: Optional[int] = None,
+                    gate_threshold: Optional[float] = None,
+                    drop_first_frame: bool = True,
+                    speaker_ids: Optional[jnp.ndarray] = None
+                    ) -> Tuple[Tacotron2Output, jnp.ndarray]:
+    """Autoregressive inference (eval mode).
+
+    Returns (Tacotron2Output with S = max_steps padded time axis,
+    n_frames scalar int32 — the number of valid frames).
+    """
+    max_steps = max_steps or cfg.max_decoder_steps
+    gate_threshold = (cfg.gate_threshold if gate_threshold is None
+                      else gate_threshold)
+    dummy_rng = jnp.zeros((2,), jnp.uint32)
+
+    memory, _ = encoder_apply(params["encoder"], state["encoder"], text, cfg,
+                              train=False)
+    memory = _condition_memory(params, memory, speaker_ids)
+    mel_coarse, gate_logits, alignments, n_frames = decoder_infer(
+        params["decoder"], cfg, memory, max_steps, gate_threshold,
+        drop_first_frame=drop_first_frame)
+
+    residual, _ = postnet_apply(params["postnet"], state["postnet"],
+                                jnp.swapaxes(mel_coarse, 1, 2), cfg,
+                                dummy_rng, train=False)
+    mel_postnet = mel_coarse + jnp.swapaxes(residual, 1, 2)
+    out = Tacotron2Output(mel_postnet=mel_postnet, mel_coarse=mel_coarse,
+                          gate_logits=gate_logits, alignments=alignments)
+    return out, n_frames
+
+
+def param_count(params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))

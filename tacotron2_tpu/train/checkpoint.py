@@ -1,0 +1,88 @@
+"""Checkpointing with Orbax: the reference's three cadences, TPU-native.
+
+The reference saves torch dicts per epoch, per 5000 steps, and on best
+validation mel (reference: train.py:537-582), and resume restores model +
+optimizer + counters (train.py:369-380).  Here the whole TrainState pytree
+(params, BN stats, optimizer state, counters, RNG) plus host counters
+(epoch, best_val_mel) goes through Orbax — async-friendly, sharded-array
+aware, and restorable onto any mesh.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+def _to_saveable(state: TrainState, epoch: int,
+                 best_val_mel: float) -> Dict[str, Any]:
+    return {
+        "params": state.params,
+        "model_state": state.model_state,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "loss_step": state.loss_step,
+        "rng": state.rng,
+        "epoch": np.int32(epoch),
+        "best_val_mel": np.float32(best_val_mel),
+    }
+
+
+def save_checkpoint(path: str, state: TrainState, epoch: int,
+                    best_val_mel: float) -> None:
+    """Save a full training checkpoint at ``path`` (a directory)."""
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, _to_saveable(state, epoch, best_val_mel), force=True)
+
+
+def restore_checkpoint(path: str, template: TrainState
+                       ) -> Tuple[TrainState, int, float]:
+    """Restore (state, epoch, best_val_mel); ``template`` supplies the
+    pytree structure (a freshly created TrainState)."""
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        target = _to_saveable(template, 0, float("inf"))
+        restored = ckptr.restore(path, target)
+    state = TrainState(
+        params=restored["params"], model_state=restored["model_state"],
+        opt_state=restored["opt_state"], step=restored["step"],
+        loss_step=restored["loss_step"], rng=restored["rng"])
+    return state, int(restored["epoch"]), float(restored["best_val_mel"])
+
+
+def save_params_only(path: str, params, model_state) -> None:
+    """Inference-grade checkpoint: just weights + BN stats
+    (the reference's debug export saves a bare state_dict, train.py:465)."""
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, {"params": params, "model_state": model_state},
+                   force=True)
+
+
+def restore_params_only(path: str, params_template, state_template):
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, {"params": params_template,
+                                        "model_state": state_template})
+    return restored["params"], restored["model_state"]
+
+
+def load_any_checkpoint(path: str, template: TrainState):
+    """Load either a full training checkpoint or a params-only checkpoint.
+
+    Returns (params, model_state, full_state_or_None, epoch, best_val_mel).
+    """
+    try:
+        state, epoch, best = restore_checkpoint(path, template)
+        return state.params, state.model_state, state, epoch, best
+    except Exception:
+        params, model_state = restore_params_only(
+            path, template.params, template.model_state)
+        return params, model_state, None, 0, float("inf")

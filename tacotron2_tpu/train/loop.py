@@ -1,0 +1,314 @@
+"""Training driver: epochs, validation, checkpoints, debug-overfit mode.
+
+The host-side orchestration around the jitted train step — the counterpart
+of the reference's ``train()`` routine (reference: train.py:287-588) with
+the same observable behavior:
+
+  * postnet frozen (bypassed) for the first 3000 steps (train.py:336-341),
+  * console log every 200 steps + timestamped training_log.txt
+    (train.py:527-535),
+  * step checkpoint every 5000 steps, per-epoch checkpoint, best-on-val
+    checkpoint (train.py:537-582),
+  * validation: teacher-forced mel/gate loss + attention entropy
+    (train.py:252-277),
+  * alignment heatmap PNG per epoch (train.py:584-587),
+  * debug overfit mode: single batch of 8, success when mel L1 < 1.0,
+    alignment PNG every 10 iterations, model + batch + autoregressive
+    inference artifact export (train.py:396-486).
+
+TPU-native differences: device auto-pick / AMP / GradScaler are gone (bf16
+on TPU needs no loss scaling); batches are static-shape bucketed; the whole
+step (fwd+bwd+clip+Adam) is one XLA program.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..data import BatchLoader, TextMelDataset, collate
+from ..dsp.griffinlim import mel_to_audio
+from ..dsp.wav import save_wav
+from ..models import init_projection_bias, tacotron2_infer
+from ..text import sequence_to_text
+from ..utils.diagnostics import attention_entropy
+from ..utils.logging import TrainingLogger
+from ..utils.plotting import save_alignment_plot
+from .checkpoint import load_any_checkpoint, save_checkpoint
+from .optim import make_optimizer
+from .state import TrainState, create_train_state
+from .step import eval_step, train_step
+from .loss import LossOutput
+
+
+def _fmt_losses(l: LossOutput) -> str:
+    return (f"Mel {float(l.mel):.4f} Gate {float(l.gate):.4f} "
+            f"KL {float(l.attention_kl):.4f} w {float(l.attention_weight):.2f} "
+            f"σ {float(l.sigma):.2f}")
+
+
+def validate(state: TrainState, loader: BatchLoader, cfg: Config,
+             sigma_warmup_steps: int) -> Dict[str, float]:
+    """Mean validation mel/gate loss + attention entropy
+    (reference: train.py:252-277)."""
+    total_mel = total_gate = total_ent = 0.0
+    count = 0
+    for batch in loader:
+        losses, aligns = eval_step(state, batch, cfg=cfg,
+                                   sigma_warmup_steps=sigma_warmup_steps)
+        total_mel += float(losses.mel)
+        total_gate += float(losses.gate)
+        total_ent += attention_entropy(aligns)
+        count += 1
+    if count == 0:
+        return {"mel": float("nan"), "gate": float("nan"), "entropy": 0.0}
+    return {"mel": total_mel / count, "gate": total_gate / count,
+            "entropy": total_ent / count}
+
+
+def export_debug_inference(state: TrainState, batch: Dict[str, np.ndarray],
+                           cfg: Config, export_dir: str) -> None:
+    """Autoregressive inference on the overfit batch + artifact export
+    (reference: train.py:39-124): alignment PNG, per-sample gate-trimmed
+    mels, phoneme txt, Griffin-Lim WAV, pairs.csv."""
+    os.makedirs(export_dir, exist_ok=True)
+    max_len_cap = int(batch["mel_lengths"].max() * 1.10)
+    out, n_frames = tacotron2_infer(
+        state.params, state.model_state, cfg.model,
+        jax.numpy.asarray(batch["text"]),
+        max_steps=min(cfg.model.max_decoder_steps, max_len_cap))
+    n = int(n_frames)
+    mel_post = np.asarray(out.mel_postnet)[:, :n]          # (B, T, n_mels)
+    gates = 1.0 / (1.0 + np.exp(-np.asarray(out.gate_logits)[:, :n]))
+
+    align_path = os.path.join(export_dir, "debug_infer_alignment.png")
+    save_alignment_plot(np.asarray(out.alignments)[:, :n], align_path)
+    print(f"Inference alignment saved: {align_path}")
+
+    rows = []
+    for b in range(mel_post.shape[0]):
+        stops = np.nonzero(gates[b] > 0.5)[0]
+        if len(stops) == 0:
+            end = int(batch["mel_lengths"][b])
+        else:
+            end = int(stops[0]) + 1
+        mel_b = mel_post[b, :end]                          # (T_trim, n_mels)
+        mel_file = f"debug_infer_mel_{b}.npy"
+        np.save(os.path.join(export_dir, mel_file), mel_b)
+
+        length = int(batch["text_lengths"][b])
+        txt_file = f"sample_{b}.txt"
+        with open(os.path.join(export_dir, txt_file), "w",
+                  encoding="utf-8") as f:
+            f.write(sequence_to_text(batch["text"][b][:length]) + "\n")
+
+        wav_file = ""
+        try:
+            wav = mel_to_audio(mel_b.T, cfg=cfg.audio)
+            wav_file = f"debug_infer_{b}.wav"
+            save_wav(os.path.join(export_dir, wav_file), wav,
+                     cfg.audio.sampling_rate)
+        except Exception as e:
+            print(f"WAV export failed (sample {b}): {e}")
+        rows.append({"sample_index": b, "text_file": txt_file,
+                     "mel_file": mel_file, "wav_file": wav_file})
+
+    pairs = os.path.join(export_dir, "pairs.csv")
+    with open(pairs, "w", newline="", encoding="utf-8") as f:
+        w = csv.DictWriter(f, fieldnames=["sample_index", "text_file",
+                                          "mel_file", "wav_file"])
+        w.writeheader()
+        w.writerows(rows)
+    print(f"Paired metadata written: {pairs}")
+
+
+def train(metadata_path: str, checkpoint_dir: str, *,
+          cfg: Optional[Config] = None, epochs: Optional[int] = None,
+          batch_size: Optional[int] = None,
+          learning_rate: Optional[float] = None,
+          debug_overfit: bool = False, val_metadata: Optional[str] = None,
+          resume: Optional[str] = None,
+          postnet_freeze_steps_override: Optional[int] = None,
+          accum_steps: int = 1) -> TrainState:
+    """Main training routine (CLI contract of reference train.py:287-298)."""
+    import dataclasses
+    cfg = cfg or Config()
+    if learning_rate is not None or batch_size is not None or epochs is not None:
+        tr = dataclasses.replace(
+            cfg.train,
+            **({"learning_rate": learning_rate} if learning_rate else {}),
+            **({"batch_size": batch_size} if batch_size else {}),
+            **({"epochs": epochs} if epochs else {}))
+        cfg = dataclasses.replace(cfg, train=tr)
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    logger = TrainingLogger(checkpoint_dir)
+    print(f"Devices: {jax.devices()}")
+
+    dataset = TextMelDataset(metadata_path)
+    tcfg = cfg.train
+
+    state = create_train_state(cfg, debug=debug_overfit)
+    tx = make_optimizer(state.params, tcfg, debug=debug_overfit)
+
+    if debug_overfit:
+        postnet_freeze_steps = 0           # reference: train.py:336-337
+        sigma_warmup = tcfg.debug_sigma_warmup_steps
+    else:
+        postnet_freeze_steps = (postnet_freeze_steps_override
+                                if postnet_freeze_steps_override is not None
+                                else tcfg.postnet_freeze_steps)
+        sigma_warmup = cfg.guided_attention.sigma_warmup_steps
+
+    start_epoch, best_val_mel = 0, float("inf")
+    if resume:
+        state, start_epoch, best_val_mel = _resume(resume, state)
+        logger.log(f"Resumed from {resume} (epoch {start_epoch + 1}, "
+                   f"step {int(state.step)})")
+
+    projection_bias_done = bool(resume)
+
+    # ================= DEBUG OVERFIT MODE =================
+    if debug_overfit:
+        return _debug_overfit(dataset, state, tx, cfg, checkpoint_dir,
+                              logger, sigma_warmup,
+                              iters=tcfg.epochs * 20)
+
+    # ================= NORMAL TRAINING =================
+    loader = BatchLoader(dataset, tcfg.batch_size, seed=tcfg.seed,
+                         text_pad_multiple=tcfg.text_pad_multiple,
+                         mel_pad_multiple=tcfg.mel_pad_multiple)
+    val_loader = None
+    if val_metadata:
+        val_loader = BatchLoader(TextMelDataset(val_metadata),
+                                 tcfg.batch_size, shuffle=False,
+                                 seed=tcfg.seed,
+                                 text_pad_multiple=tcfg.text_pad_multiple,
+                                 mel_pad_multiple=tcfg.mel_pad_multiple)
+        logger.log(f"Loaded {len(val_loader.dataset)} validation samples.")
+
+    for epoch in range(start_epoch, tcfg.epochs):
+        t0 = time.time()
+        epoch_loss, n_batches = 0.0, 0
+        print(f"\nEpoch: {epoch + 1}/{tcfg.epochs}")
+        alignments = None
+        for batch in loader:
+            if not projection_bias_done:
+                # Lazy projection-bias init from the first batch
+                # (reference: src/model.py:424-441)
+                state = state._replace(params=init_projection_bias(
+                    state.params, jax.numpy.asarray(batch["mel"])))
+                projection_bias_done = True
+            use_postnet = int(state.step) >= postnet_freeze_steps
+            state, losses, alignments = train_step(
+                state, batch, cfg=cfg, tx=tx, use_postnet=use_postnet,
+                sigma_warmup_steps=sigma_warmup)
+            epoch_loss += float(losses.total)
+            n_batches += 1
+            gstep = int(state.step)
+            if gstep % 200 == 0:
+                logger.log(
+                    f"Step {gstep} | Ep {epoch + 1} B {n_batches}/"
+                    f"{len(loader)} Total {epoch_loss / n_batches:.4f} "
+                    + _fmt_losses(losses))
+            if tcfg.save_every_steps and gstep % tcfg.save_every_steps == 0:
+                save_checkpoint(os.path.join(checkpoint_dir, f"step_{gstep}"),
+                                state, epoch, best_val_mel)
+
+        avg = epoch_loss / max(n_batches, 1)
+        logger.log(f"Epoch {epoch + 1} complete. Avg Loss: {avg:.6f}, "
+                   f"Time: {time.time() - t0:.2f}s")
+
+        if val_loader is not None:
+            metrics = validate(state, val_loader, cfg, sigma_warmup)
+            logger.log(f"Validation | Epoch {epoch + 1} "
+                       f"Mel {metrics['mel']:.4f} Gate {metrics['gate']:.4f} "
+                       f"AttnEntropy {metrics['entropy']:.3f}")
+            if metrics["mel"] < best_val_mel:
+                best_val_mel = metrics["mel"]
+                save_checkpoint(os.path.join(checkpoint_dir, "best_model"),
+                                state, epoch, best_val_mel)
+                logger.log(f"Saved best checkpoint (val mel {best_val_mel:.4f})")
+
+        save_checkpoint(
+            os.path.join(checkpoint_dir, f"tacotron2_epoch_{epoch + 1}"),
+            state, epoch, best_val_mel)
+        if alignments is not None:
+            save_alignment_plot(
+                alignments,
+                os.path.join(checkpoint_dir, f"alignment_epoch_{epoch + 1}.png"))
+    print("\nTraining complete.")
+    return state
+
+
+def _resume(resume: str, template: TrainState):
+    params, model_state, full, epoch, best = load_any_checkpoint(
+        resume, template)
+    if full is not None:
+        return full, epoch, best
+    return template._replace(params=params, model_state=model_state), 0, best
+
+
+def _debug_overfit(dataset: TextMelDataset, state: TrainState, tx, cfg: Config,
+                   checkpoint_dir: str, logger: TrainingLogger,
+                   sigma_warmup: int, iters: int) -> TrainState:
+    """Overfit-a-single-batch smoke test (reference: train.py:396-486)."""
+    tcfg = cfg.train
+    print("DEBUG MODE: overfitting a single batch "
+          "(L1 loss, log-power mels)")
+    rng = np.random.default_rng(tcfg.seed)
+    idx = rng.permutation(len(dataset))[:tcfg.debug_batch_size]
+    batch = collate([dataset[int(i)] for i in idx],
+                    tcfg.text_pad_multiple, tcfg.mel_pad_multiple)
+    print(f"Debug batch shapes: text {batch['text'].shape} "
+          f"mel {batch['mel'].shape}")
+    print(f"  Mel range: [{batch['mel'].min():.3f}, {batch['mel'].max():.3f}]")
+    print(f"  Lengths: {batch['mel_lengths'].tolist()}")
+
+    state = state._replace(params=init_projection_bias(
+        state.params, jax.numpy.asarray(batch["mel"])))
+
+    success_iter = None
+    losses = None
+    alignments = None
+    for it in range(iters):
+        state, losses, alignments = train_step(
+            state, batch, cfg=cfg, tx=tx, use_postnet=True,
+            sigma_warmup_steps=sigma_warmup)
+        if (it + 1) % 5 == 0:
+            eff = float(losses.attention_weight) * float(losses.attention_kl)
+            print(f"Iteration {it + 1:4d}, Total: {float(losses.total):.6f}")
+            print(f"  {_fmt_losses(losses)} | w*KL: {eff:.4f} | "
+                  f"entropy: {float(losses.attention_entropy):.3f}")
+        if (it + 1) % 10 == 0:
+            p = os.path.join(checkpoint_dir,
+                             f"debug_alignment_iter_{it + 1}.png")
+            save_alignment_plot(alignments, p)
+            print(f"Alignment saved: {p}")
+        if float(losses.mel) < tcfg.debug_success_mel_l1:
+            success_iter = it + 1
+            print(f"SUCCESS: mel L1 {float(losses.mel):.4f} < "
+                  f"{tcfg.debug_success_mel_l1} at iteration {success_iter}")
+            save_alignment_plot(alignments, os.path.join(
+                checkpoint_dir, f"debug_alignment_iter_{it + 1}.png"))
+            break
+
+    export_dir = os.path.join(checkpoint_dir, "debug_export")
+    try:
+        os.makedirs(export_dir, exist_ok=True)
+        from .checkpoint import save_params_only
+        save_params_only(os.path.join(export_dir, "overfit_model"),
+                         state.params, state.model_state)
+        np.savez(os.path.join(export_dir, "debug_batch.npz"), **batch)
+        print(f"Saved overfit model + batch to {export_dir}")
+        export_debug_inference(state, batch, cfg, export_dir)
+    except Exception as e:
+        print(f"Debug export failed: {e}")
+    print("DEBUG MODE COMPLETE")
+    return state
