@@ -1,0 +1,128 @@
+"""Text-to-speech synthesis pipeline (the inference.py core).
+
+Counterpart of the reference inference routine (reference: inference.py:15-96):
+load checkpoint -> text_to_sequence -> autoregressive mel decode -> vocoder
+(HiFi-GAN or Griffin-Lim) -> auto-numbered output WAV.  Batched synthesis is
+a first-class capability here (the reference is single-utterance).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..dsp.griffinlim import mel_to_audio
+from ..dsp.wav import save_wav
+from ..models import tacotron2_infer
+from ..text import pad_sequences, text_to_sequence
+from ..train.checkpoint import load_any_checkpoint
+from ..train.state import create_train_state
+
+
+def print_mel_stats(mel, tag: str) -> None:
+    """Pred-mel stats + scale warning (reference: inference.py:98-111)."""
+    from ..utils.diagnostics import mel_stats
+    s = mel_stats(mel)
+    print(f"[MEL STATS] {tag}: min {s['min']:.4f} max {s['max']:.4f} "
+          f"mean {s['mean']:.4f} std {s['std']:.4f} p01 {s['p01']:.4f} "
+          f"p50 {s['p50']:.4f} p99 {s['p99']:.4f}")
+    if s["min"] >= -1e-4 and 0.0 <= s["max"] <= 1.05:
+        print(f"[WARN] {tag}: Mel appears 0-1 linear; pretrained HiFi-GAN "
+              f"expects log-mel (negative values).")
+    else:
+        print(f"[INFO] {tag}: Mel dynamic range includes negatives or >1 "
+              f"values; likely log-compressed.")
+
+
+def load_model(checkpoint_path: str, cfg: Optional[Config] = None):
+    """Load (params, model_state) from any framework checkpoint."""
+    cfg = cfg or Config()
+    template = create_train_state(cfg)
+    params, model_state, _, _, _ = load_any_checkpoint(
+        checkpoint_path, template)
+    return params, model_state
+
+
+def synthesize_mels(params, model_state, texts: Sequence[str],
+                    cfg: Optional[Config] = None,
+                    max_steps: Optional[int] = None,
+                    gate_threshold: Optional[float] = None
+                    ) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Texts -> list of (T_i, n_mels) postnet mels (gate-trimmed per item).
+
+    The decode stops with the reference's semantics (any sample's gate
+    fires, src/model.py:327); each returned mel is then trimmed at its own
+    first gate firing.
+    """
+    cfg = cfg or Config()
+    seqs = [text_to_sequence(t) for t in texts]
+    tokens, lengths = pad_sequences(seqs, pad_multiple=16)
+    out, n_frames = tacotron2_infer(
+        params, model_state, cfg.model, jnp.asarray(tokens),
+        max_steps=max_steps, gate_threshold=gate_threshold)
+    n = int(n_frames)
+    mel_post = np.asarray(out.mel_postnet)[:, :n]
+    if n < 3:
+        print(f"[WARN] Very short mel length ({n}) - possible premature "
+              f"stop. Gate threshold={cfg.model.gate_threshold}")
+    gates = 1.0 / (1.0 + np.exp(-np.asarray(out.gate_logits)[:, :n]))
+    mels = []
+    for b in range(mel_post.shape[0]):
+        stops = np.nonzero(gates[b] > (gate_threshold
+                                       or cfg.model.gate_threshold))[0]
+        end = int(stops[0]) + 1 if len(stops) else n
+        mels.append(mel_post[b, :end])
+    return mels, np.asarray(out.alignments)[:, :n]
+
+
+def next_output_path(output_dir: str, stem: str = "output",
+                     ext: str = ".wav") -> str:
+    """First free ``output_N.wav`` path (reference: inference.py:86-91)."""
+    os.makedirs(output_dir, exist_ok=True)
+    counter = 1
+    while True:
+        path = os.path.join(output_dir, f"{stem}_{counter}{ext}")
+        if not os.path.exists(path):
+            return path
+        counter += 1
+
+
+def synthesize(text: str, checkpoint_path: str, output_dir: str,
+               vocoder: str = "griffinlim",
+               cfg: Optional[Config] = None,
+               griffinlim_iters: int = 60) -> str:
+    """Full single-utterance pipeline; returns the written WAV path."""
+    cfg = cfg or Config()
+    print("Loading Tacotron 2 model...")
+    params, model_state = load_model(checkpoint_path, cfg)
+    print("Tacotron 2 model loaded.")
+
+    vocode = None
+    if vocoder.lower() == "hifigan":
+        from ..models.hifigan import load_hifigan_vocoder
+        try:
+            vocode = load_hifigan_vocoder()
+            print("HiFi-GAN vocoder loaded.")
+        except FileNotFoundError as e:
+            print(f"HiFi-GAN unavailable ({e}); falling back to Griffin-Lim.")
+    if vocode is None:
+        print("Using Griffin-Lim vocoder.")
+
+    print("Processing input text + generating mel spectrogram...")
+    mels, _ = synthesize_mels(params, model_state, [text], cfg)
+    mel = mels[0]                                   # (T, n_mels)
+    print_mel_stats(mel, "Pred PostNet Mel")
+
+    if vocode is not None:
+        audio = vocode(mel.T[None])[0]              # (n_mels, T) batch of 1
+    else:
+        audio = mel_to_audio(mel.T, n_iter=griffinlim_iters, cfg=cfg.audio)
+
+    out_path = next_output_path(output_dir)
+    save_wav(out_path, np.asarray(audio), cfg.audio.sampling_rate)
+    print(f"\nAudio successfully saved to: {out_path}")
+    return out_path

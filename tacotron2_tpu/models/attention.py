@@ -77,6 +77,18 @@ def attention_energies(params: Dict[str, Any], query: jnp.ndarray,
     return energies
 
 
+def _fused_tail_enabled() -> bool:
+    """Use the Pallas fused energies+softmax+context kernel?
+
+    Controlled by TACOTRON2_FUSED_ATTENTION: "1"/"0" to force, unset =
+    auto (on for TPU backends)."""
+    import os
+    flag = os.environ.get("TACOTRON2_FUSED_ATTENTION")
+    if flag is not None:
+        return flag not in ("0", "false", "no")
+    return jax.default_backend() == "tpu"
+
+
 def attention_step(params: Dict[str, Any], query: jnp.ndarray,
                    memory: jnp.ndarray, processed_memory: jnp.ndarray,
                    att_state: AttentionState,
@@ -86,9 +98,22 @@ def attention_step(params: Dict[str, Any], query: jnp.ndarray,
 
     Returns (context (B, D_enc), attn_weights (B, T_enc), new_state).
     """
-    energies = attention_energies(params, query, processed_memory, att_state,
-                                  mask)
-    attn = jax.nn.softmax(energies, axis=1)
-    context = jnp.einsum("bt,btd->bd", attn, memory)
+    if _fused_tail_enabled():
+        from ..ops.attention_kernel import attention_tail_pallas
+        processed_query = linear_apply(params["query"], query)[:, None, :]
+        loc_in = jnp.stack([att_state.prev_attn, att_state.cum_attn], axis=1)
+        loc = conv1d_apply(params["location_conv"], loc_in, padding="same")
+        loc = linear_apply(params["location_dense"], jnp.swapaxes(loc, 1, 2))
+        qsum = processed_query + processed_memory + loc
+        if mask is None:
+            mask = jnp.zeros(qsum.shape[:2], bool)
+        attn, context = attention_tail_pallas(
+            qsum, params["v"]["w"][:, 0], params["v"]["b"][0],
+            params["energy_scale"], mask, memory)
+    else:
+        energies = attention_energies(params, query, processed_memory,
+                                      att_state, mask)
+        attn = jax.nn.softmax(energies, axis=1)
+        context = jnp.einsum("bt,btd->bd", attn, memory)
     return context, attn, AttentionState(prev_attn=attn,
                                          cum_attn=att_state.cum_attn + attn)

@@ -29,8 +29,8 @@ def _to_saveable(state: TrainState, epoch: int,
         "step": state.step,
         "loss_step": state.loss_step,
         "rng": state.rng,
-        "epoch": np.int32(epoch),
-        "best_val_mel": np.float32(best_val_mel),
+        "epoch": np.asarray(epoch, np.int32),
+        "best_val_mel": np.asarray(best_val_mel, np.float32),
     }
 
 

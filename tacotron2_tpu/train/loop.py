@@ -43,7 +43,7 @@ from ..utils.plotting import save_alignment_plot
 from .checkpoint import load_any_checkpoint, save_checkpoint
 from .optim import make_optimizer
 from .state import TrainState, create_train_state
-from .step import eval_step, train_step
+from .step import eval_step, train_step, train_step_accum
 from .loss import LossOutput
 
 
@@ -181,7 +181,13 @@ def train(metadata_path: str, checkpoint_dir: str, *,
                               iters=tcfg.epochs * 20)
 
     # ================= NORMAL TRAINING =================
-    loader = BatchLoader(dataset, tcfg.batch_size, seed=tcfg.seed,
+    accum_steps = max(1, accum_steps)
+    # With accumulation the loader draws accum_steps micro-batches worth of
+    # examples at once (same padded shape), scanned on device
+    # (reference semantics: accumulate across consecutive batches,
+    # train.py:516-524).
+    loader = BatchLoader(dataset, tcfg.batch_size * accum_steps,
+                         seed=tcfg.seed,
                          text_pad_multiple=tcfg.text_pad_multiple,
                          mel_pad_multiple=tcfg.mel_pad_multiple)
     val_loader = None
@@ -206,9 +212,19 @@ def train(metadata_path: str, checkpoint_dir: str, *,
                     state.params, jax.numpy.asarray(batch["mel"])))
                 projection_bias_done = True
             use_postnet = int(state.step) >= postnet_freeze_steps
-            state, losses, alignments = train_step(
-                state, batch, cfg=cfg, tx=tx, use_postnet=use_postnet,
-                sigma_warmup_steps=sigma_warmup)
+            if accum_steps > 1:
+                micro = {k: v.reshape((accum_steps,
+                                       v.shape[0] // accum_steps)
+                                      + v.shape[1:])
+                         for k, v in batch.items()}
+                state, losses, alignments = train_step_accum(
+                    state, micro, cfg=cfg, tx=tx, use_postnet=use_postnet,
+                    sigma_warmup_steps=sigma_warmup,
+                    accum_steps=accum_steps)
+            else:
+                state, losses, alignments = train_step(
+                    state, batch, cfg=cfg, tx=tx, use_postnet=use_postnet,
+                    sigma_warmup_steps=sigma_warmup)
             epoch_loss += float(losses.total)
             n_batches += 1
             gstep = int(state.step)

@@ -108,7 +108,8 @@ def tacotron2_loss(mel_postnet: jnp.ndarray, mel_coarse: jnp.ndarray,
 
     # --- gate BCE over the batch-max mel window ------------------------
     max_mel = jnp.max(mel_lengths)
-    gate_window = (jnp.arange(t_dec)[None, :] < max_mel)  # (B, T)
+    gate_window = jnp.broadcast_to(
+        jnp.arange(t_dec)[None, :] < max_mel, (b, t_dec))  # (B, T)
     gate_target = build_gate_target(mel_lengths, t_dec)
     per_elem = optax_sigmoid_bce(gate_logits, gate_target)
     loss_gate = (jnp.sum(per_elem * gate_window)

@@ -1,0 +1,125 @@
+"""HiFi-GAN generator tests: shapes, upsampling factor, and numerical
+parity against an independently-written torch implementation of the same
+v1 architecture (validating the transposed-conv math and MRF wiring the
+NVIDIA checkpoint expects).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tacotron2_tpu.models.hifigan import (RESBLOCK_DILATIONS,
+                                          RESBLOCK_KERNELS, UPSAMPLE_KERNELS,
+                                          UPSAMPLE_RATES, hifigan_apply,
+                                          hifigan_init,
+                                          params_from_nvidia_state_dict)
+
+
+class TestForward:
+    def test_output_shape_256x_upsampling(self):
+        params = hifigan_init(jax.random.PRNGKey(0))
+        mel = np.random.default_rng(0).standard_normal((2, 80, 7)).astype(
+            np.float32)
+        wav = np.asarray(hifigan_apply(params, mel))
+        assert wav.shape == (2, 7 * 256)  # prod(8,8,2,2) * hop alignment
+        assert np.abs(wav).max() <= 1.0  # tanh output
+
+
+def _build_torch_hifigan(torch):
+    """Minimal torch HiFi-GAN v1 generator (independent reimplementation
+    of the architecture, for cross-checking only)."""
+    nn = torch.nn
+
+    class ResBlock(nn.Module):
+        def __init__(self, ch, k, dils):
+            super().__init__()
+            self.convs1 = nn.ModuleList([
+                nn.Conv1d(ch, ch, k, dilation=d, padding=(k - 1) * d // 2)
+                for d in dils])
+            self.convs2 = nn.ModuleList([
+                nn.Conv1d(ch, ch, k, padding=(k - 1) // 2) for _ in dils])
+
+        def forward(self, x):
+            for c1, c2 in zip(self.convs1, self.convs2):
+                xt = torch.nn.functional.leaky_relu(x, 0.1)
+                xt = c1(xt)
+                xt = torch.nn.functional.leaky_relu(xt, 0.1)
+                xt = c2(xt)
+                x = x + xt
+            return x
+
+    class Generator(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_pre = nn.Conv1d(80, 512, 7, padding=3)
+            self.ups = nn.ModuleList()
+            self.resblocks = nn.ModuleList()
+            ch = 512
+            for u, k in zip(UPSAMPLE_RATES, UPSAMPLE_KERNELS):
+                self.ups.append(nn.ConvTranspose1d(
+                    ch, ch // 2, k, stride=u, padding=(k - u) // 2))
+                ch //= 2
+                for rk, dils in zip(RESBLOCK_KERNELS, RESBLOCK_DILATIONS):
+                    self.resblocks.append(ResBlock(ch, rk, dils))
+            self.conv_post = nn.Conv1d(ch, 1, 7, padding=3)
+
+        def forward(self, x):
+            x = self.conv_pre(x)
+            n = len(RESBLOCK_KERNELS)
+            for i, up in enumerate(self.ups):
+                x = torch.nn.functional.leaky_relu(x, 0.1)
+                x = up(x)
+                acc = None
+                for j in range(n):
+                    y = self.resblocks[i * n + j](x)
+                    acc = y if acc is None else acc + y
+                x = acc / n
+            x = torch.nn.functional.leaky_relu(x, 0.1)
+            return torch.tanh(self.conv_post(x)).squeeze(1)
+
+    return Generator()
+
+
+class TestTorchParity:
+    def test_converted_weights_match_torch_forward(self):
+        torch = pytest.importorskip("torch")
+        torch.manual_seed(0)
+        gen = _build_torch_hifigan(torch)
+        gen.eval()
+        sd = {k: v.detach().numpy() for k, v in gen.state_dict().items()}
+        params = params_from_nvidia_state_dict(sd)
+
+        mel = np.random.default_rng(1).standard_normal((1, 80, 11)).astype(
+            np.float32)
+        with torch.no_grad():
+            ref = gen(torch.from_numpy(mel)).numpy()
+        ours = np.asarray(hifigan_apply(
+            jax.tree_util.tree_map(np.asarray, params), mel))
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_weight_norm_denormalization(self):
+        torch = pytest.importorskip("torch")
+        torch.manual_seed(1)
+        gen = _build_torch_hifigan(torch)
+        # weight-norm every conv like the NGC checkpoint stores them
+        for m in gen.modules():
+            if isinstance(m, (torch.nn.Conv1d, torch.nn.ConvTranspose1d)):
+                torch.nn.utils.parametrizations.weight_norm(m)
+        sd = {}
+        for k, v in gen.state_dict().items():
+            # parametrized naming -> classic weight_g/weight_v naming
+            k = k.replace("parametrizations.weight.original0", "weight_g")
+            k = k.replace("parametrizations.weight.original1", "weight_v")
+            sd[k] = v.detach().numpy()
+        params = params_from_nvidia_state_dict(sd)
+
+        mel = np.random.default_rng(2).standard_normal((1, 80, 5)).astype(
+            np.float32)
+        gen.eval()
+        with torch.no_grad():
+            ref = gen(torch.from_numpy(mel)).numpy()
+        ours = np.asarray(hifigan_apply(
+            jax.tree_util.tree_map(np.asarray, params), mel))
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
