@@ -31,7 +31,7 @@ def main():
 
     from tacotron2_tpu.config import Config
     from tacotron2_tpu.dsp.griffinlim import griffin_lim, mel_to_linear
-    from tacotron2_tpu.models import tacotron2_infer, tacotron2_init
+    from tacotron2_tpu.models import tacotron2_infer_jit, tacotron2_init
 
     cfg = Config()
     acfg = cfg.audio
@@ -41,8 +41,8 @@ def main():
     rng = np.random.default_rng(0)
 
     def synth(tokens, max_steps):
-        out, n = tacotron2_infer(params, state, cfg.model, tokens,
-                                 max_steps=max_steps)
+        out, n = tacotron2_infer_jit(params, state, cfg.model, tokens,
+                                     max_steps=max_steps)
         return out.mel_postnet, n
 
     def vocode(mel_bt):  # (B, T, n_mels) -> (B, samples)
@@ -59,6 +59,7 @@ def main():
     max_steps = 1000  # ~11.6 s of audio at 22.05 kHz / hop 256
 
     def run(batch):
+        # new tokens every call — the runtime dedupes identical executions
         tokens = jnp.asarray(rng.integers(1, 72, (batch, 64)), jnp.int32)
         mel, n = synth(tokens, max_steps)
         wav = vocode(mel)
@@ -84,6 +85,7 @@ def main():
         f"RTF {rtf1:.5f}, {fps1:.0f} frames/s")
 
     # ---- batch 16 timed ----
+    run(16)  # warmup/compile for the batch-16 shapes
     t0 = time.time()
     n_frames16, _ = run(16)
     wall16 = time.time() - t0

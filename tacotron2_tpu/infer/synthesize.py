@@ -17,7 +17,7 @@ import numpy as np
 from ..config import Config
 from ..dsp.griffinlim import mel_to_audio
 from ..dsp.wav import save_wav
-from ..models import tacotron2_infer
+from ..models import tacotron2_infer_jit
 from ..text import pad_sequences, text_to_sequence
 from ..train.checkpoint import load_any_checkpoint
 from ..train.state import create_train_state
@@ -61,7 +61,7 @@ def synthesize_mels(params, model_state, texts: Sequence[str],
     cfg = cfg or Config()
     seqs = [text_to_sequence(t) for t in texts]
     tokens, lengths = pad_sequences(seqs, pad_multiple=16)
-    out, n_frames = tacotron2_infer(
+    out, n_frames = tacotron2_infer_jit(
         params, model_state, cfg.model, jnp.asarray(tokens),
         max_steps=max_steps, gate_threshold=gate_threshold)
     n = int(n_frames)

@@ -4,9 +4,10 @@ from .decoder import (DecoderCarry, decode_step, decoder_infer, decoder_init,
                       decoder_teacher_forced, init_carry, prenet_apply)
 from .encoder import encoder_apply, encoder_init
 from .postnet import postnet_apply, postnet_init
-from .tacotron2 import (Tacotron2Output, init_projection_bias, make_pad_mask,
-                        param_count, tacotron2_forward, tacotron2_infer,
-                        tacotron2_init)
+from .tacotron2 import (Tacotron2Output, cast_params_bf16,
+                        init_projection_bias, make_pad_mask, param_count,
+                        tacotron2_forward, tacotron2_infer,
+                        tacotron2_infer_jit, tacotron2_init)
 
 __all__ = [
     "AttentionState", "attention_init", "attention_init_state",
@@ -15,5 +16,5 @@ __all__ = [
     "prenet_apply", "encoder_apply", "encoder_init", "postnet_apply",
     "postnet_init", "Tacotron2Output", "init_projection_bias",
     "make_pad_mask", "param_count", "tacotron2_forward", "tacotron2_infer",
-    "tacotron2_init",
+    "tacotron2_infer_jit", "tacotron2_init", "cast_params_bf16",
 ]

@@ -82,6 +82,8 @@ def conv1d_apply(p: Params, x: jnp.ndarray, padding: str | int = "same"
         pad = [( (k - 1) // 2, k // 2 )]
     else:
         pad = [(padding, padding)]
+    if x.dtype != p["w"].dtype:  # bf16 serving casts activations down
+        x = x.astype(p["w"].dtype)
     y = jax.lax.conv_general_dilated(
         x, p["w"], window_strides=(1,), padding=pad,
         dimension_numbers=("NCH", "OIH", "NCH"),

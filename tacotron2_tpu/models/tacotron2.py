@@ -177,3 +177,24 @@ def tacotron2_infer(params: Dict[str, Any], state: Dict[str, Any],
 
 def param_count(params) -> int:
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+import functools as _functools
+
+#: Whole-pipeline jitted inference: encoder + while_loop decode + postnet
+#: compile into ONE XLA program (no per-op host dispatch — essential for
+#: latency through a remote-tunneled device).
+tacotron2_infer_jit = _functools.partial(
+    jax.jit, static_argnames=("cfg", "max_steps", "gate_threshold",
+                              "drop_first_frame"))(tacotron2_infer)
+
+
+def cast_params_bf16(params):
+    """bfloat16 copy of the weights for serving: halves the per-step HBM
+    weight traffic that dominates batch-1 autoregressive decode.  Matmul
+    accumulation stays fp32 (preferred_element_type on every dot)."""
+    def cast(x):
+        if x.dtype == jnp.float32:
+            return x.astype(jnp.bfloat16)
+        return x
+    return jax.tree_util.tree_map(cast, params)

@@ -49,70 +49,73 @@ def attention_tail_reference(qsum: jnp.ndarray, v_w: jnp.ndarray,
 
 def _kernel(qsum_ref, vw_ref, scalars_ref, mask_ref, memory_ref,
             attn_ref, ctx_ref):
-    # Block shapes: qsum (BB, T, A), vw (1, A), scalars (1, 2) [v_b, scale],
-    # mask (BB, T) int8, memory (BB, T, D); outputs attn (BB, T), ctx (BB, D)
+    # One program per batch item (Mosaic wants plain 2-D matmuls and
+    # (8, 128)-aligned trailing block dims, hence the (B, T, 1)/(B, 1, D)
+    # layouts).  Blocks: qsum (1, T, A), vw (A, 1), scalars (1, 2)
+    # [v_b, scale], mask (1, T, 1) int8, memory (1, T, D);
+    # outputs attn (1, T, 1), ctx (1, 1, D).
     v_b = scalars_ref[0, 0]
     scale = scalars_ref[0, 1]
-    t = jnp.tanh(qsum_ref[:])                              # (BB, T, A)
-    e = jax.lax.dot_general(
-        t, vw_ref[0, :],
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # (BB, T)
+    q = jnp.tanh(qsum_ref[0])                              # (T, A)
+    # HIGHEST: keep fp32 on the MXU — these dots are tiny and the softmax
+    # downstream amplifies bf16 rounding of the energies.
+    e = jnp.dot(q, vw_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)       # (T, 1)
     e = (e + v_b) * scale
-    e = jnp.where(mask_ref[:] != 0, -1e9, e)
-    m = jnp.max(e, axis=1, keepdims=True)
+    masked = mask_ref[0] != 0                              # (T, 1)
+    e = jnp.where(masked, -1e9, e)
+    m = jnp.max(e, axis=0, keepdims=True)                  # (1, 1)
     w = jnp.exp(e - m)
-    attn = w / jnp.sum(w, axis=1, keepdims=True)
-    attn_ref[:] = attn
-    ctx_ref[:] = jax.lax.dot_general(
-        attn, memory_ref[:],
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)                # (BB, D)
+    attn = w / jnp.sum(w, axis=0, keepdims=True)           # (T, 1)
+    attn_ref[0] = attn
+    ctx_ref[0] = jax.lax.dot_general(
+        attn, memory_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)               # (1, D)
 
 
-@functools.partial(jax.jit, static_argnames=("block_b",))
+@jax.jit
 def attention_tail_pallas(qsum: jnp.ndarray, v_w: jnp.ndarray,
                           v_b: jnp.ndarray, energy_scale: jnp.ndarray,
-                          mask: jnp.ndarray, memory: jnp.ndarray,
-                          block_b: int = 8):
+                          mask: jnp.ndarray, memory: jnp.ndarray):
     """Fused Pallas path; same signature/semantics as the reference impl."""
     b, t, a = qsum.shape
     d = memory.shape[-1]
-    bb = min(block_b, b)
-    grid = (pl.cdiv(b, bb),)
+    grid = (b,)
     scalars = jnp.stack([v_b.reshape(()), energy_scale.reshape(())]
                         ).reshape(1, 2).astype(jnp.float32)
-    mask_i8 = mask.astype(jnp.int8)
+    mask_i8 = mask.astype(jnp.int8)[..., None]             # (B, T, 1)
 
     attn, ctx = pl.pallas_call(
         _kernel,
         grid=grid,
         interpret=jax.default_backend() != "tpu",
         in_specs=[
-            pl.BlockSpec((bb, t, a), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, t, a), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, a), lambda i: (0, 0),
+            pl.BlockSpec((a, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((bb, t), lambda i: (i, 0),
+            pl.BlockSpec((1, t, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, t, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((bb, t), lambda i: (i, 0),
+            pl.BlockSpec((1, t, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, d), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, t), jnp.float32),
-            jax.ShapeDtypeStruct((b, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, t, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, d), jnp.float32),
         ),
-    )(qsum.astype(jnp.float32), v_w.reshape(1, a).astype(jnp.float32),
+    )(qsum.astype(jnp.float32), v_w.reshape(a, 1).astype(jnp.float32),
       scalars, mask_i8, memory.astype(jnp.float32))
-    return attn, ctx
+    return attn[..., 0], ctx[:, 0, :]
 
 
 def attention_tail(qsum, v_w, v_b, energy_scale, mask, memory,

@@ -35,7 +35,7 @@ from ..config import Config
 from ..data import BatchLoader, TextMelDataset, collate
 from ..dsp.griffinlim import mel_to_audio
 from ..dsp.wav import save_wav
-from ..models import init_projection_bias, tacotron2_infer
+from ..models import init_projection_bias, tacotron2_infer_jit
 from ..text import sequence_to_text
 from ..utils.diagnostics import attention_entropy
 from ..utils.logging import TrainingLogger
@@ -79,7 +79,7 @@ def export_debug_inference(state: TrainState, batch: Dict[str, np.ndarray],
     mels, phoneme txt, Griffin-Lim WAV, pairs.csv."""
     os.makedirs(export_dir, exist_ok=True)
     max_len_cap = int(batch["mel_lengths"].max() * 1.10)
-    out, n_frames = tacotron2_infer(
+    out, n_frames = tacotron2_infer_jit(
         state.params, state.model_state, cfg.model,
         jax.numpy.asarray(batch["text"]),
         max_steps=min(cfg.model.max_decoder_steps, max_len_cap))
