@@ -1,19 +1,28 @@
 #!/usr/bin/env python
 """Synthesize speech from text.
 
-CLI contract mirrors the reference (reference: inference.py:114-128):
+CLI contract mirrors the reference (reference: inference.py:114-128), plus
+a long-form mode for paragraph input (the reference's input.txt workload):
 
     python inference.py "Hello world." --checkpoint ckpt_dir \
         [--output_dir generated_audio] [--vocoder hifigan|griffinlim]
+    python inference.py --input_file input.txt --longform --checkpoint ...
 """
 
 import argparse
 
-from tacotron2_tpu.infer import synthesize
+import numpy as np
 
-if __name__ == "__main__":
+
+def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("text", type=str, help="Text to synthesize.")
+    parser.add_argument("text", type=str, nargs="?", default=None,
+                        help="Text to synthesize.")
+    parser.add_argument("--input_file", type=str, default=None,
+                        help="Read the text from a file (e.g. a paragraph).")
+    parser.add_argument("--longform", action="store_true",
+                        help="Sentence-chunked streaming decode for "
+                             "paragraphs longer than the decoder cap.")
     parser.add_argument("--checkpoint", type=str, required=True,
                         help="Path to a trained model checkpoint.")
     parser.add_argument("--output_dir", type=str, default="generated_audio")
@@ -22,6 +31,42 @@ if __name__ == "__main__":
     parser.add_argument("--griffinlim_iters", type=int, default=60)
     args = parser.parse_args()
 
-    synthesize(text=args.text, checkpoint_path=args.checkpoint,
-               output_dir=args.output_dir, vocoder=args.vocoder,
-               griffinlim_iters=args.griffinlim_iters)
+    if args.input_file:
+        with open(args.input_file, "r", encoding="utf-8") as f:
+            text = f.read().strip()
+    elif args.text:
+        text = args.text
+    else:
+        parser.error("provide TEXT or --input_file")
+
+    if args.longform:
+        from tacotron2_tpu.config import Config
+        from tacotron2_tpu.dsp import save_wav
+        from tacotron2_tpu.infer import (load_model, next_output_path,
+                                         synthesize_longform)
+        cfg = Config()
+        params, model_state = load_model(args.checkpoint, cfg)
+        vocode = None
+        if args.vocoder == "hifigan":
+            try:
+                from tacotron2_tpu.models.hifigan import load_hifigan_vocoder
+                vocode = load_hifigan_vocoder()
+            except FileNotFoundError as e:
+                print(f"HiFi-GAN unavailable ({e}); using Griffin-Lim.")
+        wav, mels = synthesize_longform(
+            params, model_state, text, cfg, vocoder=vocode,
+            griffinlim_iters=args.griffinlim_iters)
+        out_path = next_output_path(args.output_dir)
+        save_wav(out_path, np.asarray(wav), cfg.audio.sampling_rate)
+        print(f"\nAudio ({len(mels)} sentences, "
+              f"{len(wav) / cfg.audio.sampling_rate:.1f}s) saved to: "
+              f"{out_path}")
+    else:
+        from tacotron2_tpu.infer import synthesize
+        synthesize(text=text, checkpoint_path=args.checkpoint,
+                   output_dir=args.output_dir, vocoder=args.vocoder,
+                   griffinlim_iters=args.griffinlim_iters)
+
+
+if __name__ == "__main__":
+    main()

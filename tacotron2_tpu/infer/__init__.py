@@ -1,5 +1,6 @@
+from .longform import split_sentences, synthesize_longform
 from .synthesize import (load_model, next_output_path, print_mel_stats,
                          synthesize, synthesize_mels)
 
 __all__ = ["load_model", "next_output_path", "print_mel_stats", "synthesize",
-           "synthesize_mels"]
+           "synthesize_mels", "split_sentences", "synthesize_longform"]

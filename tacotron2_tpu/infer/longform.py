@@ -1,0 +1,100 @@
+"""Long-form paragraph synthesis: sentence-chunked streaming decode.
+
+New capability beyond the reference (which caps any utterance at
+``max_decoder_steps=1000`` frames ~ 11.6 s; reference: src/config.py:37,
+and whose long-form config reads a paragraph from input.txt): the paragraph
+is split into sentences, sentences are token-bucketed and decoded in fixed
+shapes (XLA-friendly — a handful of compiled programs regardless of
+paragraph length), vocoded, and concatenated with short inter-sentence
+silences.  Decoding is batched across sentences, so a long paragraph costs
+roughly one batched decode instead of N sequential ones.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..dsp.griffinlim import mel_to_audio
+from ..models import tacotron2_infer_jit
+from ..text import pad_sequences, text_to_sequence
+
+_SENTENCE_SPLIT = re.compile(r"(?<=[.!?;])\s+")
+
+
+def split_sentences(text: str) -> List[str]:
+    """Split a paragraph into sentence chunks (punctuation-aware)."""
+    parts = [p.strip() for p in _SENTENCE_SPLIT.split(text.strip())]
+    return [p for p in parts if p]
+
+
+def _bucket_len(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def synthesize_longform(params, model_state, text: str,
+                        cfg: Optional[Config] = None,
+                        max_steps_per_sentence: Optional[int] = None,
+                        gate_threshold: Optional[float] = None,
+                        silence_ms: float = 120.0,
+                        token_buckets: Sequence[int] = (32, 64, 128, 256),
+                        vocoder=None,
+                        griffinlim_iters: int = 60
+                        ) -> Tuple[np.ndarray, List[np.ndarray]]:
+    """Paragraph -> (waveform, per-sentence mels).
+
+    ``vocoder``: optional callable (B, n_mels, T) -> (B, samples); default
+    Griffin-Lim per sentence.
+    """
+    cfg = cfg or Config()
+    max_steps = max_steps_per_sentence or cfg.model.max_decoder_steps
+    sentences = split_sentences(text)
+    if not sentences:
+        return np.zeros(0, np.float32), []
+
+    seqs = [text_to_sequence(s) for s in sentences]
+    seqs = [s if s else [0] for s in seqs]
+
+    # Group sentences into token-length buckets -> one decode per bucket.
+    groups = {}
+    for i, s in enumerate(seqs):
+        groups.setdefault(_bucket_len(len(s), token_buckets), []).append(i)
+
+    mels: List[Optional[np.ndarray]] = [None] * len(sentences)
+    for bucket, idxs in sorted(groups.items()):
+        tokens, _ = pad_sequences([seqs[i][:bucket] for i in idxs],
+                                  pad_to=bucket)
+        out, n_frames = tacotron2_infer_jit(
+            params, model_state, cfg.model, jnp.asarray(tokens),
+            max_steps=max_steps, gate_threshold=gate_threshold,
+            drop_first_frame=True)
+        n = int(n_frames)
+        mel_post = np.asarray(out.mel_postnet)[:, :n]
+        gates = 1.0 / (1.0 + np.exp(-np.asarray(out.gate_logits)[:, :n]))
+        thr = gate_threshold if gate_threshold is not None \
+            else cfg.model.gate_threshold
+        for row, i in enumerate(idxs):
+            stops = np.nonzero(gates[row] > thr)[0]
+            end = int(stops[0]) + 1 if len(stops) else n
+            mels[i] = mel_post[row, :end]
+
+    # Vocode + concatenate with inter-sentence silence.
+    silence = np.zeros(int(cfg.audio.sampling_rate * silence_ms / 1000.0),
+                       np.float32)
+    pieces: List[np.ndarray] = []
+    for i, mel in enumerate(mels):
+        if vocoder is not None:
+            wav = np.asarray(vocoder(mel.T[None])[0])
+        else:
+            wav = mel_to_audio(mel.T, n_iter=griffinlim_iters, cfg=cfg.audio)
+        pieces.append(np.asarray(wav, np.float32))
+        if i < len(mels) - 1:
+            pieces.append(silence)
+    return np.concatenate(pieces), [m for m in mels if m is not None]

@@ -39,6 +39,7 @@ from ..models import init_projection_bias, tacotron2_infer_jit
 from ..text import sequence_to_text
 from ..utils.diagnostics import attention_entropy
 from ..utils.logging import TrainingLogger
+from ..utils.profiling import StepTimer
 from ..utils.plotting import save_alignment_plot
 from .checkpoint import load_any_checkpoint, save_checkpoint
 from .optim import make_optimizer
@@ -199,6 +200,7 @@ def train(metadata_path: str, checkpoint_dir: str, *,
                                  mel_pad_multiple=tcfg.mel_pad_multiple)
         logger.log(f"Loaded {len(val_loader.dataset)} validation samples.")
 
+    timer = StepTimer()
     for epoch in range(start_epoch, tcfg.epochs):
         t0 = time.time()
         epoch_loss, n_batches = 0.0, 0
@@ -227,12 +229,17 @@ def train(metadata_path: str, checkpoint_dir: str, *,
                     sigma_warmup_steps=sigma_warmup)
             epoch_loss += float(losses.total)
             n_batches += 1
+            timer.tick()
             gstep = int(state.step)
             if gstep % 200 == 0:
+                perf = timer.stats(
+                    frames_per_step=int(batch["mel_lengths"].sum()))
                 logger.log(
                     f"Step {gstep} | Ep {epoch + 1} B {n_batches}/"
                     f"{len(loader)} Total {epoch_loss / n_batches:.4f} "
-                    + _fmt_losses(losses))
+                    + _fmt_losses(losses)
+                    + f" | {perf['steps_per_sec']:.2f} it/s "
+                    f"{perf.get('mel_frames_per_sec', 0):.0f} frames/s")
             if tcfg.save_every_steps and gstep % tcfg.save_every_steps == 0:
                 save_checkpoint(os.path.join(checkpoint_dir, f"step_{gstep}"),
                                 state, epoch, best_val_mel)

@@ -1,0 +1,100 @@
+"""Feature tests: long-form streaming synthesis, multi-speaker
+conditioning, profiling utilities.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tacotron2_tpu.config import Config, ModelConfig
+from tacotron2_tpu.infer.longform import split_sentences, synthesize_longform
+from tacotron2_tpu.models import (tacotron2_forward, tacotron2_infer_jit,
+                                  tacotron2_init)
+from tacotron2_tpu.utils.profiling import StepTimer
+
+SMALL_MODEL = ModelConfig(
+    symbols_embedding_dim=32, encoder_embedding_dim=32, decoder_rnn_dim=48,
+    prenet_dim=16, attention_rnn_dim=48, attention_dim=24,
+    location_n_filters=8, location_kernel_size=15,
+    postnet_embedding_dim=24, max_decoder_steps=40)
+SMALL = Config(model=SMALL_MODEL)
+
+
+class TestSentenceSplit:
+    def test_split(self):
+        s = split_sentences("Hello world. How are you? Fine! Done;")
+        assert s == ["Hello world.", "How are you?", "Fine!", "Done;"]
+
+    def test_single_sentence(self):
+        assert split_sentences("  Just one sentence  ") == ["Just one sentence"]
+
+    def test_empty(self):
+        assert split_sentences("   ") == []
+
+
+class TestLongform:
+    def test_paragraph_synthesis(self):
+        params, state = tacotron2_init(jax.random.PRNGKey(0), SMALL.model)
+        text = ("Myself Frank Underwood. I am testing paragraphs! "
+                "Streaming decode works; sentence by sentence.")
+        wav, mels = synthesize_longform(params, state, text, SMALL,
+                                        max_steps_per_sentence=16,
+                                        griffinlim_iters=4)
+        assert len(mels) == 4  # split at '.', '!', ';'
+        assert wav.ndim == 1 and wav.size > 0
+        assert np.isfinite(wav).all()
+        # inter-sentence silences present: total longer than sum of pieces
+        piece_samples = sum(m.shape[0] * 256 for m in mels)
+        assert wav.size >= piece_samples
+
+
+class TestMultiSpeaker:
+    def test_speaker_conditioning_changes_output(self):
+        import dataclasses
+        cfg = dataclasses.replace(SMALL_MODEL, n_speakers=4)
+        params, state = tacotron2_init(jax.random.PRNGKey(0), cfg)
+        assert "speaker" in params
+        rng = np.random.default_rng(0)
+        text = jnp.asarray(rng.integers(1, 72, (2, 9)), jnp.int32)
+        mel = jnp.asarray(rng.standard_normal((2, 80, 12)) - 5.0, jnp.float32)
+        lengths = jnp.asarray([9, 9], jnp.int32)
+        out_a, _ = tacotron2_forward(
+            params, state, cfg, text, mel, lengths,
+            jax.random.PRNGKey(1), train=False,
+            speaker_ids=jnp.asarray([0, 0], jnp.int32))
+        out_b, _ = tacotron2_forward(
+            params, state, cfg, text, mel, lengths,
+            jax.random.PRNGKey(1), train=False,
+            speaker_ids=jnp.asarray([1, 2], jnp.int32))
+        assert not np.allclose(np.asarray(out_a.mel_coarse),
+                               np.asarray(out_b.mel_coarse))
+
+    def test_single_speaker_has_no_speaker_params(self):
+        params, _ = tacotron2_init(jax.random.PRNGKey(0), SMALL_MODEL)
+        assert "speaker" not in params
+
+    def test_multispeaker_inference(self):
+        import dataclasses
+        cfg = dataclasses.replace(SMALL_MODEL, n_speakers=4)
+        params, state = tacotron2_init(jax.random.PRNGKey(0), cfg)
+        text = jnp.asarray(
+            np.random.default_rng(0).integers(1, 72, (1, 9)), jnp.int32)
+        out, n = tacotron2_infer_jit(params, state, cfg, text, max_steps=8,
+                                     speaker_ids=jnp.asarray([2], jnp.int32))
+        assert int(n) >= 1
+
+
+class TestStepTimer:
+    def test_stats(self):
+        t = StepTimer(window=10)
+        import time
+        for _ in range(4):
+            t.tick()
+            time.sleep(0.01)
+        s = t.stats(frames_per_step=100)
+        assert s["step_time_s"] > 0.005
+        assert s["steps_per_sec"] > 0
+        assert s["mel_frames_per_sec"] > 0
+        assert t.total_steps == 4
