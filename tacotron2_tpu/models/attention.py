@@ -99,7 +99,7 @@ def attention_step(params: Dict[str, Any], query: jnp.ndarray,
     Returns (context (B, D_enc), attn_weights (B, T_enc), new_state).
     """
     if _fused_tail_enabled():
-        from ..ops.attention_kernel import attention_tail_pallas
+        from ..ops.attention_kernel import attention_tail
         processed_query = linear_apply(params["query"], query)[:, None, :]
         loc_in = jnp.stack([att_state.prev_attn, att_state.cum_attn], axis=1)
         loc = conv1d_apply(params["location_conv"], loc_in, padding="same")
@@ -107,7 +107,7 @@ def attention_step(params: Dict[str, Any], query: jnp.ndarray,
         qsum = processed_query + processed_memory + loc
         if mask is None:
             mask = jnp.zeros(qsum.shape[:2], bool)
-        attn, context = attention_tail_pallas(
+        attn, context = attention_tail(
             qsum, params["v"]["w"][:, 0], params["v"]["b"][0],
             params["energy_scale"], mask, memory)
     else:

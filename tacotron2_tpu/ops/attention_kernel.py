@@ -118,13 +118,39 @@ def attention_tail_pallas(qsum: jnp.ndarray, v_w: jnp.ndarray,
     return attn[..., 0], ctx[:, 0, :]
 
 
-def attention_tail(qsum, v_w, v_b, energy_scale, mask, memory,
-                   use_pallas: bool | None = None):
-    """Dispatch: Pallas on TPU, jnp elsewhere (or force via flag)."""
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
-        return attention_tail_pallas(qsum, v_w, v_b, energy_scale, mask,
-                                     memory)
-    return attention_tail_reference(qsum, v_w, v_b, energy_scale, mask,
-                                    memory)
+@jax.custom_vjp
+def attention_tail(qsum, v_w, v_b, energy_scale, mask, memory):
+    """Fused attention tail with autodiff: Pallas forward kernel + an
+    analytic jnp backward (differentiating through softmax/energies), so
+    the same op serves both the training scan and inference loop."""
+    return attention_tail_pallas(qsum, v_w, v_b, energy_scale, mask, memory)
+
+
+def _attention_tail_fwd(qsum, v_w, v_b, energy_scale, mask, memory):
+    attn, ctx = attention_tail_pallas(qsum, v_w, v_b, energy_scale, mask,
+                                      memory)
+    return (attn, ctx), (qsum, v_w, v_b, energy_scale, mask, memory, attn)
+
+
+def _attention_tail_bwd(res, cotangents):
+    qsum, v_w, v_b, energy_scale, mask, memory, attn = res
+    d_attn_out, d_ctx = cotangents
+    th = jnp.tanh(qsum)                                     # (B, T, A)
+    pre = jnp.einsum("bta,a->bt", th, v_w) + v_b            # (B, T)
+    # ctx = attn @ memory
+    d_attn = d_attn_out + jnp.einsum("bd,btd->bt", d_ctx, memory)
+    d_memory = jnp.einsum("bt,bd->btd", attn, d_ctx)
+    # softmax backward
+    d_e = attn * (d_attn - jnp.sum(d_attn * attn, axis=1, keepdims=True))
+    d_e = jnp.where(mask, 0.0, d_e)                         # -1e9 branch
+    # e = pre * scale   (pre includes v_b)
+    d_scale = jnp.sum(d_e * pre)
+    d_pre = d_e * energy_scale
+    d_v_b = jnp.sum(d_pre)
+    d_th = d_pre[..., None] * v_w                           # (B, T, A)
+    d_v_w = jnp.einsum("bta,bt->a", th, d_pre)
+    d_qsum = d_th * (1.0 - th * th)
+    return (d_qsum, d_v_w, d_v_b, d_scale, None, d_memory)
+
+
+attention_tail.defvjp(_attention_tail_fwd, _attention_tail_bwd)

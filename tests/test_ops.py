@@ -6,7 +6,10 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from tacotron2_tpu.ops.attention_kernel import (attention_tail_pallas,
+import jax
+
+from tacotron2_tpu.ops.attention_kernel import (attention_tail,
+                                                attention_tail_pallas,
                                                 attention_tail_reference)
 
 
@@ -46,3 +49,23 @@ class TestAttentionTailKernel:
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(ctx), np.asarray(ctx_ref),
                                    atol=1e-4)
+
+    def test_custom_vjp_matches_reference_grads(self):
+        qsum, v_w, v_b, scale, mask, memory = self._inputs(b=4, t=64, d=128)
+
+        def loss_fused(qsum, v_w, v_b, scale, memory):
+            attn, ctx = attention_tail(qsum, v_w, v_b, scale, mask, memory)
+            return jnp.sum(attn * attn) + jnp.sum(jnp.tanh(ctx))
+
+        def loss_ref(qsum, v_w, v_b, scale, memory):
+            attn, ctx = attention_tail_reference(qsum, v_w, v_b, scale,
+                                                 mask, memory)
+            return jnp.sum(attn * attn) + jnp.sum(jnp.tanh(ctx))
+
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+            qsum, v_w, v_b, scale, memory)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+            qsum, v_w, v_b, scale, memory)
+        for a, b in zip(g_fused, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
