@@ -26,6 +26,8 @@ def log(msg):
 
 
 def main():
+    from tacotron2_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

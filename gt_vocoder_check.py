@@ -21,6 +21,7 @@ from datetime import datetime, timezone
 
 import numpy as np
 
+from tacotron2_tpu.utils.cache import enable_persistent_cache
 from tacotron2_tpu.config import AudioConfig
 from tacotron2_tpu.data import basename_of, read_metadata
 from tacotron2_tpu.dsp import get_mel_spectrogram, mel_to_audio, save_wav
@@ -144,4 +145,5 @@ if __name__ == "__main__":
     parser.add_argument("--gl_iters", type=int, default=60)
     parser.add_argument("--try_pseudo_log", action="store_true")
     args = parser.parse_args()
+    enable_persistent_cache()
     main(args)

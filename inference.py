@@ -31,6 +31,9 @@ def main():
     parser.add_argument("--griffinlim_iters", type=int, default=60)
     args = parser.parse_args()
 
+    from tacotron2_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     if args.input_file:
         with open(args.input_file, "r", encoding="utf-8") as f:
             text = f.read().strip()

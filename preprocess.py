@@ -10,6 +10,7 @@ sequential librosa loop:
 
 import argparse
 
+from tacotron2_tpu.utils.cache import enable_persistent_cache
 from tacotron2_tpu.data import preprocess_corpus
 
 if __name__ == "__main__":
@@ -23,5 +24,6 @@ if __name__ == "__main__":
                         help="Device batch size for mel extraction.")
     args = parser.parse_args()
 
+    enable_persistent_cache()
     preprocess_corpus(args.metadata, args.output_dir,
                       batch_size=args.batch_size)

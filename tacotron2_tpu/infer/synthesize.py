@@ -60,7 +60,7 @@ def synthesize_mels(params, model_state, texts: Sequence[str],
     """
     cfg = cfg or Config()
     seqs = [text_to_sequence(t) for t in texts]
-    tokens, lengths = pad_sequences(seqs, pad_multiple=16)
+    tokens, _ = pad_sequences(seqs, pad_multiple=16)
     out, n_frames = tacotron2_infer_jit(
         params, model_state, cfg.model, jnp.asarray(tokens),
         max_steps=max_steps, gate_threshold=gate_threshold)

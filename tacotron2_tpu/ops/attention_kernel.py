@@ -19,11 +19,8 @@ the semantics; the Pallas path is used on TPU and parity-tested against it.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu

@@ -111,7 +111,7 @@ def tacotron2_loss(mel_postnet: jnp.ndarray, mel_coarse: jnp.ndarray,
     gate_window = jnp.broadcast_to(
         jnp.arange(t_dec)[None, :] < max_mel, (b, t_dec))  # (B, T)
     gate_target = build_gate_target(mel_lengths, t_dec)
-    per_elem = optax_sigmoid_bce(gate_logits, gate_target)
+    per_elem = sigmoid_binary_cross_entropy(gate_logits, gate_target)
     loss_gate = (jnp.sum(per_elem * gate_window)
                  / (jnp.sum(gate_window) + 1e-8))
 
@@ -150,8 +150,9 @@ def tacotron2_loss(mel_postnet: jnp.ndarray, mel_coarse: jnp.ndarray,
                       attention_entropy=entropy, sigma=sigma)
 
 
-def optax_sigmoid_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+def sigmoid_binary_cross_entropy(logits: jnp.ndarray,
+                                 labels: jnp.ndarray) -> jnp.ndarray:
     """Numerically-stable elementwise BCE with logits
-    (same math as torch BCEWithLogitsLoss / optax.sigmoid_binary_cross_entropy)."""
+    (same math as torch BCEWithLogitsLoss)."""
     return jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(
         jnp.exp(-jnp.abs(logits)))

@@ -11,6 +11,7 @@ CLI contract mirrors the reference trainer (reference: train.py:616-642):
 
 import argparse
 
+from tacotron2_tpu.utils.cache import enable_persistent_cache
 from tacotron2_tpu.train import train
 
 if __name__ == "__main__":
@@ -30,6 +31,7 @@ if __name__ == "__main__":
     parser.add_argument("--accum_steps", type=int, default=1)
     args = parser.parse_args()
 
+    enable_persistent_cache()
     train(metadata_path=args.metadata, checkpoint_dir=args.checkpoint_dir,
           epochs=args.epochs, batch_size=args.batch_size,
           learning_rate=args.lr, debug_overfit=args.debug,
