@@ -24,7 +24,7 @@ import numpy as np
 from tacotron2_tpu.utils.cache import enable_persistent_cache
 from tacotron2_tpu.config import AudioConfig
 from tacotron2_tpu.data import basename_of, read_metadata
-from tacotron2_tpu.dsp import get_mel_spectrogram, mel_to_audio, save_wav
+from tacotron2_tpu.dsp import get_mel_spectrogram, save_wav
 from tacotron2_tpu.utils.diagnostics import classify_mel_scale, mel_stats
 
 
@@ -41,6 +41,21 @@ def _prepare_mel_for_griffin_lim(mel: np.ndarray, scale_guess: str,
     if scale_guess == "LIKELY_LOG":
         return np.exp(mel)
     return mel
+
+
+def _linear_mel_to_audio(mel_lin: np.ndarray, n_iter: int,
+                         cfg: AudioConfig) -> np.ndarray:
+    """Griffin-Lim a mel that is already linear (power=1.0 semantics),
+    bypassing mel_to_audio's log-detect heuristic."""
+    import jax.numpy as jnp
+
+    from tacotron2_tpu.dsp import griffin_lim, mel_to_linear
+    linear = mel_to_linear(
+        jnp.asarray(np.maximum(mel_lin, 0.0)), sr=cfg.sampling_rate,
+        n_fft=cfg.n_fft, n_mels=cfg.n_mels, fmin=cfg.fmin, fmax=cfg.fmax)
+    return np.asarray(griffin_lim(
+        linear, n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+        win_length=cfg.win_length, n_iter=n_iter))
 
 
 def approximate_linear01_to_log(mel_linear01: np.ndarray) -> np.ndarray:
@@ -99,7 +114,12 @@ def main(args):
     print(f"Preparing mel for Griffin-Lim (scale guess: {guess})")
     mel_lin = _prepare_mel_for_griffin_lim(mel, guess, cfg)
     print("Running Griffin-Lim on prepared mel...")
-    wav_gl = mel_to_audio(mel_lin, n_iter=args.gl_iters, cfg=cfg)
+    # Invert the already-linear mel directly.  (The reference feeds the
+    # prepared mel back through mel_to_audio, whose log/linear heuristic
+    # fires on the wide linear dynamic range and exponentiates a second
+    # time — an overflow bug, gt_vocoder_check.py:183 + mel_griffinlim.py:36;
+    # fixed here rather than replicated.)
+    wav_gl = _linear_mel_to_audio(mel_lin, args.gl_iters, cfg)
     gl_path = os.path.join(args.output_dir, f"{basename}_gt_griffinlim.wav")
     save_wav(gl_path, wav_gl, cfg.sampling_rate)
     print(f"Saved: {gl_path}")
@@ -107,7 +127,7 @@ def main(args):
     if guess == "LIKELY_LINEAR_0_1" and args.try_pseudo_log:
         pseudo = np.exp(approximate_linear01_to_log(mel))
         print("Running Griffin-Lim on pseudo-log transformed mel...")
-        wav_p = mel_to_audio(pseudo, n_iter=args.gl_iters, cfg=cfg)
+        wav_p = _linear_mel_to_audio(pseudo, args.gl_iters, cfg)
         p_path = os.path.join(args.output_dir,
                               f"{basename}_gt_griffinlim_pseudolog.wav")
         save_wav(p_path, wav_p, cfg.sampling_rate)

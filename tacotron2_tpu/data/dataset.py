@@ -32,11 +32,25 @@ class Example:
 
 
 class TextMelDataset:
-    """Loads preprocessed ``.npy`` caches listed in a metadata CSV."""
+    """Loads preprocessed ``.npy`` caches listed in a metadata CSV.
+
+    Raw ``speaker_id`` values from the metadata (e.g. LibriSpeech speaker
+    numbers like 1089) are mapped to contiguous embedding indices 0..N-1;
+    ``n_speakers`` reports N so the training driver can size the speaker
+    embedding table.  (The reference records speaker_id but never consumes
+    it — prepare_metadata.py:47-51.)
+    """
 
     def __init__(self, metadata_path: str):
         self.rows = read_metadata(metadata_path)
         self.data_dir = os.path.dirname(os.path.abspath(metadata_path))
+        raw_ids = sorted({int(r.get("speaker_id", 0) or 0)
+                          for r in self.rows})
+        self.speaker_map = {raw: i for i, raw in enumerate(raw_ids)}
+
+    @property
+    def n_speakers(self) -> int:
+        return len(self.speaker_map)
 
     def __len__(self) -> int:
         return len(self.rows)
@@ -46,7 +60,7 @@ class TextMelDataset:
         base = basename_of(row["filepath"])
         text = np.load(os.path.join(self.data_dir, "text", f"{base}.npy"))
         mel = np.load(os.path.join(self.data_dir, "mels", f"{base}.npy"))
-        speaker = int(row.get("speaker_id", 0) or 0)
+        speaker = self.speaker_map[int(row.get("speaker_id", 0) or 0)]
         return Example(text=text.astype(np.int32),
                        mel=mel.astype(np.float32), speaker_id=speaker)
 

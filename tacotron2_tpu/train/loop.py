@@ -155,6 +155,14 @@ def train(metadata_path: str, checkpoint_dir: str, *,
     dataset = TextMelDataset(metadata_path)
     tcfg = cfg.train
 
+    # Multi-speaker corpora (metadata carries speaker_id, e.g. LibriSpeech)
+    # automatically size the speaker embedding table.
+    if dataset.n_speakers > 1 and cfg.model.n_speakers < dataset.n_speakers:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           n_speakers=dataset.n_speakers))
+        logger.log(f"Multi-speaker corpus: {dataset.n_speakers} speakers")
+
     state = create_train_state(cfg, debug=debug_overfit)
     tx = make_optimizer(state.params, tcfg, debug=debug_overfit)
 

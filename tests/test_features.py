@@ -86,6 +86,57 @@ class TestMultiSpeaker:
         assert int(n) >= 1
 
 
+class TestMultiSpeakerTraining:
+    def test_speaker_mapping_and_auto_sizing(self, tmp_path):
+        """LibriSpeech-style metadata (raw speaker ids) -> contiguous
+        embedding indices; train() auto-sizes the speaker table."""
+        import csv as _csv
+        import dataclasses
+        import os
+
+        from tacotron2_tpu.data import TextMelDataset
+        from tacotron2_tpu.dsp import save_wav
+        from tacotron2_tpu.data import (prepare_ljspeech_metadata,
+                                        preprocess_corpus)
+
+        root = tmp_path / "corpus"
+        (root / "wavs").mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        rows = []
+        for i in range(4):
+            n = int(22050 * 0.3)
+            y = (0.3 * np.sin(np.arange(n) * 0.03 * (i + 1))).astype(
+                np.float32)
+            fp = str(root / "wavs" / f"MS-{i:04d}.wav")
+            save_wav(fp, y, 22050)
+            rows.append({"filepath": os.path.abspath(fp),
+                         "text": f"sample number {i}",
+                         "speaker_id": str([1089, 1089, 2300, 9023][i])})
+        meta = str(tmp_path / "meta.csv")
+        with open(meta, "w", newline="") as f:
+            w = _csv.DictWriter(f, fieldnames=["filepath", "text",
+                                               "speaker_id"])
+            w.writeheader()
+            w.writerows(rows)
+        out = str(tmp_path / "processed")
+        preprocess_corpus(meta, out, batch_size=4)
+
+        ds = TextMelDataset(os.path.join(out, "metadata.csv"))
+        assert ds.n_speakers == 3
+        assert sorted({ds[i].speaker_id for i in range(4)}) == [0, 1, 2]
+
+        from tacotron2_tpu.train import train as train_fn
+        cfg = dataclasses.replace(
+            SMALL, train=dataclasses.replace(
+                SMALL.train, epochs=1, batch_size=4, text_pad_multiple=8,
+                mel_pad_multiple=16))
+        state = train_fn(os.path.join(out, "metadata.csv"),
+                         str(tmp_path / "ckpt"), cfg=cfg)
+        assert "speaker" in state.params
+        table = np.asarray(state.params["speaker"]["embedding"]["table"])
+        assert table.shape[0] == 3
+
+
 class TestStepTimer:
     def test_stats(self):
         t = StepTimer(window=10)
