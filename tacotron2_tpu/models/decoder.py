@@ -108,8 +108,16 @@ def decode_step(params: Dict[str, Any], cfg: ModelConfig,
     if train:
         h_dec = dropout(r_dec, h_dec, cfg.p_decoder_dropout, train)
     proj_in = jnp.concatenate([h_dec, context], axis=-1)
-    mel = linear_apply(params["proj"], proj_in)
-    gate = linear_apply(params["gate"], proj_in)[..., 0]
+    # Fused output heads: one (B, 1536) x (1536, n_mels+1) matmul instead of
+    # two; the weight concat is loop-invariant, so XLA hoists it out of the
+    # decode scan/while loop.
+    w_heads = jnp.concatenate([params["proj"]["w"], params["gate"]["w"]],
+                              axis=1)
+    b_heads = jnp.concatenate([params["proj"]["b"], params["gate"]["b"]])
+    out = jnp.dot(proj_in.astype(w_heads.dtype), w_heads,
+                  preferred_element_type=jnp.float32) + b_heads.astype(
+                      jnp.float32)
+    mel, gate = out[..., :-1], out[..., -1]
     new_carry = DecoderCarry(h_att=h_att, c_att=c_att, h_dec=h_dec,
                              c_dec=c_dec, context=context, att=att_state)
     return new_carry, (mel, gate, attn_w)

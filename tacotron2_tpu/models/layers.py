@@ -42,6 +42,10 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    # bf16 serving: match the input dtype to the weights so the MXU
+    # consumes bf16 directly (no upcasted weight copy); accumulate fp32.
+    if x.dtype != p["w"].dtype:
+        x = x.astype(p["w"].dtype)
     y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"]
@@ -146,9 +150,16 @@ def lstm_cell_init(key, in_dim: int, hidden: int, dtype=jnp.float32) -> Params:
 
 def lstm_cell_apply(p: Params, x: jnp.ndarray, h: jnp.ndarray,
                     c: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One LSTM step.  x: (B, in), h/c: (B, H) -> (h', c')."""
-    gates = (jnp.dot(x, p["wi"], preferred_element_type=jnp.float32)
-             + jnp.dot(h, p["wh"], preferred_element_type=jnp.float32)
+    """One LSTM step.  x: (B, in), h/c: (B, H) -> (h', c').
+
+    The cell state ``c`` always stays in the caller's dtype (fp32 in this
+    framework) — only the matmul inputs are cast down for bf16 serving.
+    """
+    wd = p["wi"].dtype
+    gates = (jnp.dot(x.astype(wd), p["wi"],
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(h.astype(wd), p["wh"],
+                       preferred_element_type=jnp.float32)
              + p["bi"] + p["bh"])
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i = jax.nn.sigmoid(i)
