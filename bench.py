@@ -75,7 +75,7 @@ def main():
         f"(frames={n_frames}, wav={wav_shape})")
 
     # ---- batch 1 timed ----
-    iters = 3
+    iters = 5
     t0 = time.time()
     for _ in range(iters):
         n_frames, _ = run(1)

@@ -118,17 +118,23 @@ class BatchLoader:
     def __init__(self, dataset: TextMelDataset, batch_size: int,
                  seed: int = 1234, shuffle: bool = True,
                  text_pad_multiple: int = 32, mel_pad_multiple: int = 64,
-                 sort_pool: bool = True):
+                 sort_pool: bool = True, drop_last: bool = True):
+        """``drop_last=True`` keeps every batch exactly B (one jit shape);
+        validation loaders pass False so small val sets still evaluate
+        (the trailing partial batch costs one extra compile)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.text_pad_multiple = text_pad_multiple
         self.mel_pad_multiple = mel_pad_multiple
         self.sort_pool = sort_pool
+        self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
-        return len(self.dataset) // self.batch_size
+        if self.drop_last:
+            return len(self.dataset) // self.batch_size
+        return -(-len(self.dataset) // self.batch_size)
 
     def _epoch_order(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -150,12 +156,13 @@ class BatchLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._epoch_order()
-        n_batches = len(idx) // self.batch_size
+        n_batches = len(self)
         batch_starts = np.arange(n_batches) * self.batch_size
         if self.shuffle:
             self._rng.shuffle(batch_starts)
         for s in batch_starts:
             members = [self.dataset[int(i)]
                        for i in idx[s:s + self.batch_size]]
-            yield collate(members, self.text_pad_multiple,
-                          self.mel_pad_multiple)
+            if members:
+                yield collate(members, self.text_pad_multiple,
+                              self.mel_pad_multiple)

@@ -205,7 +205,8 @@ def train(metadata_path: str, checkpoint_dir: str, *,
                                  tcfg.batch_size, shuffle=False,
                                  seed=tcfg.seed,
                                  text_pad_multiple=tcfg.text_pad_multiple,
-                                 mel_pad_multiple=tcfg.mel_pad_multiple)
+                                 mel_pad_multiple=tcfg.mel_pad_multiple,
+                                 drop_last=False)
         logger.log(f"Loaded {len(val_loader.dataset)} validation samples.")
 
     timer = StepTimer()

@@ -121,6 +121,14 @@ class TestDatasetAndLoader:
             assert b["text"].shape[0] == 2
             assert b["mel"].shape[0] == 2
 
+    def test_loader_partial_batch_kept_for_validation(self, processed):
+        ds = TextMelDataset(os.path.join(processed, "metadata.csv"))
+        loader = BatchLoader(ds, batch_size=4, shuffle=False,
+                             drop_last=False)
+        batches = list(loader)
+        assert len(batches) == 2  # 6 examples -> 4 + 2
+        assert batches[-1]["text"].shape[0] == 2
+
     def test_loader_deterministic_with_seed(self, processed):
         ds = TextMelDataset(os.path.join(processed, "metadata.csv"))
         a = [b["text_lengths"].tolist()
