@@ -11,9 +11,8 @@ aware, and restorable onto any mesh.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -14,7 +14,6 @@ from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from ..config import Config
 from ..models import tacotron2_init

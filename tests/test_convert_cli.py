@@ -11,7 +11,7 @@ class TestConvertRoundtrip:
         torch = pytest.importorskip("torch")
         import convert_checkpoint as cc
         from tacotron2_tpu.utils.torch_compat import \
-            params_from_torch_state_dict, torch_state_dict_from_params
+            torch_state_dict_from_params
         from tacotron2_tpu.models import tacotron2_init
         import jax
 

@@ -10,8 +10,7 @@ import pytest
 from scipy.signal import get_window
 
 from tacotron2_tpu.config import AudioConfig
-from tacotron2_tpu.dsp import (batched_log_mel_with_lengths,
-                               get_mel_spectrogram_array, griffin_lim,
+from tacotron2_tpu.dsp import (batched_log_mel_with_lengths, griffin_lim,
                                hann_window, istft, log_mel_spectrogram,
                                mel_filterbank, mel_to_audio, mel_to_linear,
                                reflect_pad_batch, save_wav, stft,

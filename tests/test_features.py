@@ -3,7 +3,6 @@ conditioning, profiling utilities.
 """
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
@@ -96,8 +95,7 @@ class TestMultiSpeakerTraining:
 
         from tacotron2_tpu.data import TextMelDataset
         from tacotron2_tpu.dsp import save_wav
-        from tacotron2_tpu.data import (prepare_ljspeech_metadata,
-                                        preprocess_corpus)
+        from tacotron2_tpu.data import preprocess_corpus
 
         root = tmp_path / "corpus"
         (root / "wavs").mkdir(parents=True)

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from tacotron2_tpu.config import Config, GuidedAttentionConfig, ModelConfig
-from tacotron2_tpu.train import (TrainState, build_gate_target,
+from tacotron2_tpu.train import (build_gate_target,
                                  create_train_state, eval_step,
                                  make_optimizer, milestone_schedule,
                                  restore_checkpoint, save_checkpoint,
