@@ -23,6 +23,9 @@ def main():
     parser.add_argument("--longform", action="store_true",
                         help="Sentence-chunked streaming decode for "
                              "paragraphs longer than the decoder cap.")
+    parser.add_argument("--batch_file", type=str, default=None,
+                        help="File with one text per line: synthesize the "
+                             "whole batch in one decode (per-line WAVs).")
     parser.add_argument("--checkpoint", type=str, required=True,
                         help="Path to a trained model checkpoint.")
     parser.add_argument("--output_dir", type=str, default="generated_audio")
@@ -34,13 +37,44 @@ def main():
     from tacotron2_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 
+    if args.batch_file:
+        from tacotron2_tpu.config import Config
+        from tacotron2_tpu.dsp import mel_to_audio, save_wav
+        from tacotron2_tpu.infer import (load_model, next_output_path,
+                                         synthesize_mels)
+        with open(args.batch_file, "r", encoding="utf-8") as f:
+            texts = [line.strip() for line in f if line.strip()]
+        if not texts:
+            parser.error("--batch_file is empty")
+        cfg = Config()
+        params, model_state = load_model(args.checkpoint, cfg)
+        vocode = None
+        if args.vocoder == "hifigan":
+            try:
+                from tacotron2_tpu.models.hifigan import load_hifigan_vocoder
+                vocode = load_hifigan_vocoder()
+            except FileNotFoundError as e:
+                print(f"HiFi-GAN unavailable ({e}); using Griffin-Lim.")
+        print(f"Batch synthesis: {len(texts)} texts in one decode")
+        mels, _ = synthesize_mels(params, model_state, texts, cfg)
+        for mel in mels:
+            if vocode is not None:
+                wav = vocode(mel.T[None])[0]
+            else:
+                wav = mel_to_audio(mel.T, n_iter=args.griffinlim_iters,
+                                   cfg=cfg.audio)
+            out_path = next_output_path(args.output_dir)
+            save_wav(out_path, wav, cfg.audio.sampling_rate)
+            print(f"  -> {out_path} ({mel.shape[0]} frames)")
+        return
+
     if args.input_file:
         with open(args.input_file, "r", encoding="utf-8") as f:
             text = f.read().strip()
     elif args.text:
         text = args.text
     else:
-        parser.error("provide TEXT or --input_file")
+        parser.error("provide TEXT, --input_file, or --batch_file")
 
     if args.longform:
         from tacotron2_tpu.config import Config
