@@ -210,9 +210,14 @@ def train(metadata_path: str, checkpoint_dir: str, *,
         logger.log(f"Loaded {len(val_loader.dataset)} validation samples.")
 
     timer = StepTimer()
+    gstep = int(state.step)
     for epoch in range(start_epoch, tcfg.epochs):
         t0 = time.time()
-        epoch_loss, n_batches = 0.0, 0
+        # Per-step losses stay device-side (async dispatch keeps the TPU
+        # pipeline full); they are only materialized at log points and
+        # epoch end.  The reference syncs every step (train.py:525).
+        loss_totals = []
+        n_batches = 0
         print(f"\nEpoch: {epoch + 1}/{tcfg.epochs}")
         alignments = None
         for batch in loader:
@@ -222,7 +227,7 @@ def train(metadata_path: str, checkpoint_dir: str, *,
                 state = state._replace(params=init_projection_bias(
                     state.params, jax.numpy.asarray(batch["mel"])))
                 projection_bias_done = True
-            use_postnet = int(state.step) >= postnet_freeze_steps
+            use_postnet = gstep >= postnet_freeze_steps
             if accum_steps > 1:
                 micro = {k: v.reshape((accum_steps,
                                        v.shape[0] // accum_steps)
@@ -236,16 +241,17 @@ def train(metadata_path: str, checkpoint_dir: str, *,
                 state, losses, alignments = train_step(
                     state, batch, cfg=cfg, tx=tx, use_postnet=use_postnet,
                     sigma_warmup_steps=sigma_warmup)
-            epoch_loss += float(losses.total)
+            loss_totals.append(losses.total)
             n_batches += 1
+            gstep += 1
             timer.tick()
-            gstep = int(state.step)
             if gstep % 200 == 0:
                 perf = timer.stats(
                     frames_per_step=int(batch["mel_lengths"].sum()))
+                running = float(np.mean([float(x) for x in loss_totals]))
                 logger.log(
                     f"Step {gstep} | Ep {epoch + 1} B {n_batches}/"
-                    f"{len(loader)} Total {epoch_loss / n_batches:.4f} "
+                    f"{len(loader)} Total {running:.4f} "
                     + _fmt_losses(losses)
                     + f" | {perf['steps_per_sec']:.2f} it/s "
                     f"{perf.get('mel_frames_per_sec', 0):.0f} frames/s")
@@ -253,7 +259,8 @@ def train(metadata_path: str, checkpoint_dir: str, *,
                 save_checkpoint(os.path.join(checkpoint_dir, f"step_{gstep}"),
                                 state, epoch, best_val_mel)
 
-        avg = epoch_loss / max(n_batches, 1)
+        avg = (float(np.mean([float(x) for x in loss_totals]))
+               if loss_totals else 0.0)
         logger.log(f"Epoch {epoch + 1} complete. Avg Loss: {avg:.6f}, "
                    f"Time: {time.time() - t0:.2f}s")
 
