@@ -1,0 +1,25 @@
+#!/usr/bin/env python
+"""Run the TTS HTTP server.
+
+    python serve.py --checkpoint checkpoints/run1/best_model [--port 8080]
+
+    curl -X POST localhost:8080/synthesize \
+         -d '{"text": "Hello world.", "vocoder": "griffinlim"}' -o out.wav
+"""
+
+import argparse
+
+from tacotron2_tpu.infer.server import serve
+from tacotron2_tpu.utils.cache import enable_persistent_cache
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--griffinlim_iters", type=int, default=60)
+    args = parser.parse_args()
+
+    enable_persistent_cache()
+    serve(args.checkpoint, host=args.host, port=args.port,
+          griffinlim_iters=args.griffinlim_iters)

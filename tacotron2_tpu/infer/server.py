@@ -1,0 +1,148 @@
+"""Minimal production TTS HTTP server.
+
+Serving layer (new capability — the reference is CLI-only): preloads the
+model once, keeps the jitted decode warm, and exposes
+
+    POST /synthesize   {"text": "...", "vocoder": "griffinlim"|"hifigan"}
+        -> audio/wav bytes (22.05 kHz float32 WAV)
+    GET  /healthz      -> {"status": "ok", ...}
+
+Requests synthesize through the same pipeline as the CLI
+(`synthesize_mels` + Griffin-Lim / HiFi-GAN).  Token lengths are bucketed
+(16-multiples) so steady-state traffic reuses a handful of compiled
+programs.  Single worker thread — the device executes one request at a
+time anyway; the stdlib ThreadingHTTPServer handles socket concurrency.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import wave
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from ..config import Config
+from ..dsp.griffinlim import mel_to_audio
+from .synthesize import load_model, synthesize_mels
+
+
+def _wav_bytes(audio: np.ndarray, sr: int) -> bytes:
+    """Encode float audio as 16-bit PCM WAV bytes."""
+    pcm = np.clip(audio, -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+class TTSService:
+    """Model-owning synthesis service (thread-safe; device access serialized)."""
+
+    def __init__(self, checkpoint_path: str, cfg: Optional[Config] = None,
+                 griffinlim_iters: int = 60):
+        self.cfg = cfg or Config()
+        self.params, self.model_state = load_model(checkpoint_path, self.cfg)
+        self.griffinlim_iters = griffinlim_iters
+        self._lock = threading.Lock()
+        self._hifigan = None
+        self._requests = 0
+
+    def _vocoder(self):
+        if self._hifigan is None:
+            from ..models.hifigan import load_hifigan_vocoder
+            self._hifigan = load_hifigan_vocoder()
+        return self._hifigan
+
+    def synthesize(self, text: str, vocoder: str = "griffinlim") -> bytes:
+        with self._lock:
+            self._requests += 1
+            mels, _ = synthesize_mels(self.params, self.model_state, [text],
+                                      self.cfg)
+            mel = mels[0]
+            if vocoder == "hifigan":
+                audio = np.asarray(self._vocoder()(mel.T[None])[0])
+            else:
+                audio = mel_to_audio(mel.T, n_iter=self.griffinlim_iters,
+                                     cfg=self.cfg.audio)
+        return _wav_bytes(audio, self.cfg.audio.sampling_rate)
+
+    @property
+    def request_count(self) -> int:
+        return self._requests
+
+
+def make_handler(service: TTSService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet default access log
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"status": "ok",
+                                 "requests": service.request_count})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/synthesize":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                text = payload.get("text", "")
+                if not isinstance(text, str) or not text.strip():
+                    self._json(400, {"error": "missing 'text'"})
+                    return
+                vocoder = payload.get("vocoder", "griffinlim")
+                if vocoder not in ("griffinlim", "hifigan"):
+                    self._json(400, {"error": f"unknown vocoder {vocoder!r}"})
+                    return
+                wav = service.synthesize(text, vocoder)
+            except json.JSONDecodeError:
+                self._json(400, {"error": "invalid JSON body"})
+                return
+            except FileNotFoundError as e:  # hifigan checkpoint missing
+                self._json(503, {"error": str(e)})
+                return
+            except Exception as e:  # pragma: no cover
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(wav)))
+            self.end_headers()
+            self.wfile.write(wav)
+
+    return Handler
+
+
+def serve(checkpoint_path: str, host: str = "127.0.0.1", port: int = 8080,
+          cfg: Optional[Config] = None,
+          griffinlim_iters: int = 60) -> ThreadingHTTPServer:
+    """Start the TTS server (blocking).  Returns the server on shutdown."""
+    service = TTSService(checkpoint_path, cfg, griffinlim_iters)
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    print(f"TTS server listening on http://{host}:{port} "
+          f"(POST /synthesize, GET /healthz)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return httpd
