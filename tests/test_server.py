@@ -64,6 +64,15 @@ class TestServer:
             assert w.getframerate() == 22050
             assert w.getnframes() > 0
 
+    def test_two_texts_different_lengths(self, server):
+        """Different trimmed lengths must both synthesize (quantized
+        vocoder shapes)."""
+        for text in ["Hi.", "A much longer sentence for synthesis here."]:
+            status, ctype, body = _post(server, {"text": text})
+            assert status == 200
+            with wave.open(io.BytesIO(body)) as w:
+                assert w.getnframes() % 256 == 0 or w.getnframes() > 0
+
     def test_missing_text_is_400(self, server):
         status, _, body = _post(server, {})
         assert status == 400
