@@ -43,8 +43,8 @@ def main():
     rng = np.random.default_rng(0)
 
     def synth(tokens, max_steps):
-        out, n = tacotron2_infer_jit(params, state, cfg.model, tokens,
-                                     max_steps=max_steps)
+        out, n, _ = tacotron2_infer_jit(params, state, cfg.model, tokens,
+                                        max_steps=max_steps)
         return out.mel_postnet, n
 
     def vocode(mel_bt):  # (B, T, n_mels) -> (B, samples)

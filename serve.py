@@ -18,8 +18,12 @@ if __name__ == "__main__":
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--griffinlim_iters", type=int, default=60)
+    parser.add_argument("--bf16", action="store_true",
+                        help="Serve with bfloat16 weights (halves weight "
+                             "memory; fp32 is faster for batch-1 decode "
+                             "on v5e).")
     args = parser.parse_args()
 
     enable_persistent_cache()
     serve(args.checkpoint, host=args.host, port=args.port,
-          griffinlim_iters=args.griffinlim_iters)
+          griffinlim_iters=args.griffinlim_iters, bf16=args.bf16)

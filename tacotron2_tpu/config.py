@@ -134,8 +134,6 @@ class TrainConfig:
     # Static-shape bucketing (TPU-native addition; XLA needs fixed shapes)
     text_pad_multiple: int = 32
     mel_pad_multiple: int = 64
-    # bf16 matmul policy on TPU (replaces CUDA AMP, reference train.py:389-392)
-    use_bf16: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

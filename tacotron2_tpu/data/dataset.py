@@ -47,6 +47,7 @@ class TextMelDataset:
         raw_ids = sorted({int(r.get("speaker_id", 0) or 0)
                           for r in self.rows})
         self.speaker_map = {raw: i for i, raw in enumerate(raw_ids)}
+        self._text_lengths: Dict[int, int] = {}
 
     @property
     def n_speakers(self) -> int:
@@ -65,10 +66,14 @@ class TextMelDataset:
                        mel=mel.astype(np.float32), speaker_id=speaker)
 
     def text_length(self, index: int) -> int:
-        row = self.rows[index]
-        base = basename_of(row["filepath"])
-        return int(np.load(os.path.join(self.data_dir, "text",
-                                        f"{base}.npy")).shape[0])
+        """Token count of an example (cached — the loader's length-aware
+        pooling asks every epoch; don't re-read the file each time)."""
+        if index not in self._text_lengths:
+            row = self.rows[index]
+            base = basename_of(row["filepath"])
+            self._text_lengths[index] = int(np.load(os.path.join(
+                self.data_dir, "text", f"{base}.npy")).shape[0])
+        return self._text_lengths[index]
 
 
 def _round_up(x: int, multiple: int) -> int:

@@ -59,31 +59,40 @@ def synthesize_longform(params, model_state, text: str,
     if not sentences:
         return np.zeros(0, np.float32), []
 
-    seqs = [text_to_sequence(s) for s in sentences]
-    seqs = [s if s else [0] for s in seqs]
 
-    # Group sentences into token-length buckets -> one decode per bucket.
+    seqs = []
+    max_bucket = token_buckets[-1]
+    for s in sentences:
+        ids = text_to_sequence(s) or [0]
+        if len(ids) <= max_bucket:
+            seqs.append(ids)
+        else:
+            # run-on sentence beyond the largest bucket: chunk it rather
+            # than silently truncating words
+            print(f"[longform] splitting a {len(ids)}-token sentence into "
+                  f"{-(-len(ids) // max_bucket)} chunks")
+            for start in range(0, len(ids), max_bucket):
+                seqs.append(ids[start:start + max_bucket])
+
+    # Group chunks into token-length buckets -> one decode per bucket.
     groups = {}
     for i, s in enumerate(seqs):
         groups.setdefault(_bucket_len(len(s), token_buckets), []).append(i)
 
-    mels: List[Optional[np.ndarray]] = [None] * len(sentences)
+    mels: List[Optional[np.ndarray]] = [None] * len(seqs)
     for bucket, idxs in sorted(groups.items()):
-        tokens, _ = pad_sequences([seqs[i][:bucket] for i in idxs],
-                                  pad_to=bucket)
-        out, n_frames = tacotron2_infer_jit(
+        chunk_seqs = [seqs[i] for i in idxs]
+        tokens, lengths = pad_sequences(chunk_seqs, pad_to=bucket)
+        out, n_frames, frame_ends = tacotron2_infer_jit(
             params, model_state, cfg.model, jnp.asarray(tokens),
             max_steps=max_steps, gate_threshold=gate_threshold,
-            drop_first_frame=True)
+            drop_first_frame=True, text_lengths=jnp.asarray(lengths),
+            stop_mode="all" if len(idxs) > 1 else "any")
         n = int(n_frames)
         mel_post = np.asarray(out.mel_postnet)[:, :n]
-        gates = 1.0 / (1.0 + np.exp(-np.asarray(out.gate_logits)[:, :n]))
-        thr = gate_threshold if gate_threshold is not None \
-            else cfg.model.gate_threshold
+        ends = np.asarray(frame_ends)
         for row, i in enumerate(idxs):
-            stops = np.nonzero(gates[row] > thr)[0]
-            end = int(stops[0]) + 1 if len(stops) else n
-            mels[i] = mel_post[row, :end]
+            mels[i] = mel_post[row, :int(ends[row])]
 
     # Vocode + concatenate with inter-sentence silence.
     silence = np.zeros(int(cfg.audio.sampling_rate * silence_ms / 1000.0),

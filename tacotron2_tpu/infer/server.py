@@ -47,9 +47,12 @@ class TTSService:
     """Model-owning synthesis service (thread-safe; device access serialized)."""
 
     def __init__(self, checkpoint_path: str, cfg: Optional[Config] = None,
-                 griffinlim_iters: int = 60):
+                 griffinlim_iters: int = 60, bf16: bool = False):
         self.cfg = cfg or Config()
         self.params, self.model_state = load_model(checkpoint_path, self.cfg)
+        if bf16:
+            from ..models import cast_params_bf16
+            self.params = cast_params_bf16(self.params)
         self.griffinlim_iters = griffinlim_iters
         self._lock = threading.Lock()
         self._hifigan = None
@@ -146,9 +149,10 @@ def make_handler(service: TTSService):
 
 def serve(checkpoint_path: str, host: str = "127.0.0.1", port: int = 8080,
           cfg: Optional[Config] = None,
-          griffinlim_iters: int = 60) -> ThreadingHTTPServer:
+          griffinlim_iters: int = 60,
+          bf16: bool = False) -> ThreadingHTTPServer:
     """Start the TTS server (blocking).  Returns the server on shutdown."""
-    service = TTSService(checkpoint_path, cfg, griffinlim_iters)
+    service = TTSService(checkpoint_path, cfg, griffinlim_iters, bf16=bf16)
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     print(f"TTS server listening on http://{host}:{port} "
           f"(POST /synthesize, GET /healthz)")

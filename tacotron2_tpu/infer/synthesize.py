@@ -54,28 +54,26 @@ def synthesize_mels(params, model_state, texts: Sequence[str],
                     ) -> Tuple[List[np.ndarray], np.ndarray]:
     """Texts -> list of (T_i, n_mels) postnet mels (gate-trimmed per item).
 
-    The decode stops with the reference's semantics (any sample's gate
-    fires, src/model.py:327); each returned mel is then trimmed at its own
-    first gate firing.
+    Single texts use the reference's stop semantics (src/model.py:327);
+    multi-text batches decode until EVERY item's gate fires (stop_mode
+    'all') with padded encoder positions masked, and each returned mel is
+    trimmed at its own gate firing.
     """
     cfg = cfg or Config()
     seqs = [text_to_sequence(t) for t in texts]
-    tokens, _ = pad_sequences(seqs, pad_multiple=16)
-    out, n_frames = tacotron2_infer_jit(
+    tokens, lengths = pad_sequences(seqs, pad_multiple=16)
+    out, n_frames, frame_ends = tacotron2_infer_jit(
         params, model_state, cfg.model, jnp.asarray(tokens),
-        max_steps=max_steps, gate_threshold=gate_threshold)
+        max_steps=max_steps, gate_threshold=gate_threshold,
+        text_lengths=jnp.asarray(lengths),
+        stop_mode="all" if len(texts) > 1 else "any")
     n = int(n_frames)
     mel_post = np.asarray(out.mel_postnet)[:, :n]
     if n < 3:
         print(f"[WARN] Very short mel length ({n}) - possible premature "
               f"stop. Gate threshold={cfg.model.gate_threshold}")
-    gates = 1.0 / (1.0 + np.exp(-np.asarray(out.gate_logits)[:, :n]))
-    mels = []
-    for b in range(mel_post.shape[0]):
-        stops = np.nonzero(gates[b] > (gate_threshold
-                                       or cfg.model.gate_threshold))[0]
-        end = int(stops[0]) + 1 if len(stops) else n
-        mels.append(mel_post[b, :end])
+    ends = np.asarray(frame_ends)
+    mels = [mel_post[b, :int(ends[b])] for b in range(mel_post.shape[0])]
     return mels, np.asarray(out.alignments)[:, :n]
 
 

@@ -170,22 +170,37 @@ def decoder_teacher_forced(params: Dict[str, Any], cfg: ModelConfig,
 def decoder_infer(params: Dict[str, Any], cfg: ModelConfig,
                   memory: jnp.ndarray, max_steps: int,
                   gate_threshold: float,
-                  drop_first_frame: bool = True
+                  drop_first_frame: bool = True,
+                  mask: Optional[jnp.ndarray] = None,
+                  stop_mode: str = "any"
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
-                             jnp.ndarray]:
+                             jnp.ndarray, jnp.ndarray]:
     """Autoregressive inference under jit: ``lax.while_loop`` + padded buffers.
 
-    Stop semantics match the reference (src/model.py:318-333): stop once
-    more than one frame is out AND the max-over-batch gate sigmoid exceeds
-    the threshold, or at ``max_steps``.  With ``drop_first_frame`` (the
-    reference's diagnostic-step quirk, src/model.py:309-316) the first
-    generated frame advances the state and feeds the next step but is not
-    recorded.
+    ``stop_mode``:
+      * ``"any"`` — reference semantics (src/model.py:318-333): stop the
+        whole batch once more than one frame is out AND the max-over-batch
+        gate sigmoid exceeds the threshold.  Exact for B=1; for B>1 it
+        truncates longer items (the reference only ever decoded B=1).
+      * ``"all"`` — batched serving semantics: track per-item completion
+        and run until every item's gate has fired (or ``max_steps``).
+
+    ``mask`` (B, T_enc) optionally masks padded encoder positions in
+    attention — the reference never pads at inference (B=1 exact length),
+    so batched/padded callers must pass it to keep parity with unpadded
+    decoding.
+
+    With ``drop_first_frame`` (the reference's diagnostic-step quirk,
+    src/model.py:309-316) the first generated frame advances the state and
+    feeds the next step but is not recorded.
 
     Returns (mels (B, S, n_mels), gate_logits (B, S), aligns (B, S, T_enc),
-    n_frames scalar int32), where S = max_steps; frames >= n_frames are
-    padding.  Runs in eval mode (no dropout), like the reference.
+    n_frames scalar int32, frame_ends (B,) int32), where S = max_steps;
+    ``frame_ends[b]`` is the frame count at item b's own gate firing (or
+    ``n_frames`` if it never fired).  Runs in eval mode (no dropout).
     """
+    if stop_mode not in ("any", "all"):
+        raise ValueError(f"stop_mode must be 'any' or 'all', got {stop_mode}")
     b, t_enc, _ = memory.shape
     processed_memory = precompute_memory(params["attention"], memory)
     carry0 = init_carry(b, t_enc, cfg)
@@ -194,7 +209,7 @@ def decoder_infer(params: Dict[str, Any], cfg: ModelConfig,
     def run_step(carry, mel_in):
         pre = prenet_apply(params, mel_in, cfg, dummy_rng, train=False)
         return decode_step(params, cfg, pre, carry, memory, processed_memory,
-                           None, dummy_rng, train=False)
+                           mask, dummy_rng, train=False)
 
     go_frame = jnp.zeros((b, cfg.n_mels), jnp.float32)
     if drop_first_frame:
@@ -206,27 +221,39 @@ def decoder_infer(params: Dict[str, Any], cfg: ModelConfig,
     mels_buf = jnp.zeros((max_steps, b, cfg.n_mels), jnp.float32)
     gates_buf = jnp.full((max_steps, b), -1e9, jnp.float32)
     align_buf = jnp.zeros((max_steps, b, t_enc), jnp.float32)
+    item_done0 = jnp.zeros((b,), bool)
+    item_end0 = jnp.full((b,), max_steps, jnp.int32)
 
     def cond(loop):
         step, done, *_ = loop
         return jnp.logical_and(step < max_steps, jnp.logical_not(done))
 
     def body(loop):
-        step, done, carry, mel_in, mels_b, gates_b, align_b = loop
+        (step, done, item_done, item_end, carry, mel_in,
+         mels_b, gates_b, align_b) = loop
         carry, (mel, gate, attn) = run_step(carry, mel_in)
         mels_b = mels_b.at[step].set(mel)
         gates_b = gates_b.at[step].set(gate)
         align_b = align_b.at[step].set(attn)
         n_out = step + 1
-        stop = jnp.logical_and(
-            n_out > 1,
-            jnp.max(jax.nn.sigmoid(gate)) > gate_threshold)
-        return (n_out, stop, carry, mel, mels_b, gates_b, align_b)
+        fired = jnp.logical_and(n_out > 1,
+                                jax.nn.sigmoid(gate) > gate_threshold)
+        newly = jnp.logical_and(fired, jnp.logical_not(item_done))
+        item_end = jnp.where(newly, n_out, item_end)
+        item_done = jnp.logical_or(item_done, fired)
+        if stop_mode == "any":
+            stop = jnp.any(item_done)
+        else:
+            stop = jnp.all(item_done)
+        return (n_out, stop, item_done, item_end, carry, mel,
+                mels_b, gates_b, align_b)
 
-    step, _, _, _, mels_buf, gates_buf, align_buf = jax.lax.while_loop(
+    (step, _, item_done, item_end, _, _, mels_buf, gates_buf,
+     align_buf) = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), jnp.bool_(False), carry0, input0,
-         mels_buf, gates_buf, align_buf))
+        (jnp.int32(0), jnp.bool_(False), item_done0, item_end0, carry0,
+         input0, mels_buf, gates_buf, align_buf))
 
+    frame_ends = jnp.minimum(item_end, step)
     return (jnp.swapaxes(mels_buf, 0, 1), jnp.swapaxes(gates_buf, 0, 1),
-            jnp.swapaxes(align_buf, 0, 1), step)
+            jnp.swapaxes(align_buf, 0, 1), step, frame_ends)

@@ -147,14 +147,24 @@ def tacotron2_infer(params: Dict[str, Any], state: Dict[str, Any],
                     max_steps: Optional[int] = None,
                     gate_threshold: Optional[float] = None,
                     drop_first_frame: bool = True,
-                    speaker_ids: Optional[jnp.ndarray] = None
-                    ) -> Tuple[Tacotron2Output, jnp.ndarray]:
+                    speaker_ids: Optional[jnp.ndarray] = None,
+                    text_lengths: Optional[jnp.ndarray] = None,
+                    stop_mode: str = "any"
+                    ) -> Tuple[Tacotron2Output, jnp.ndarray, jnp.ndarray]:
     """Autoregressive inference (eval mode).
 
+    ``text_lengths`` masks padded encoder positions in attention — the
+    reference never pads at inference (B=1 exact length, no mask,
+    src/model.py:305), so None keeps that exact behavior; padded batch
+    callers must pass true lengths.  ``stop_mode`` 'any' reproduces the
+    reference's whole-batch stop (src/model.py:327); 'all' decodes until
+    every item's gate fires (batched serving).
+
     Returns (Tacotron2Output with S = max_steps padded time axis,
-    n_frames scalar int32 — the number of valid frames).
+    n_frames scalar int32 — total decoded frames, frame_ends (B,) int32 —
+    per-item frame count at its own gate firing).
     """
-    max_steps = max_steps or cfg.max_decoder_steps
+    max_steps = cfg.max_decoder_steps if max_steps is None else max_steps
     gate_threshold = (cfg.gate_threshold if gate_threshold is None
                       else gate_threshold)
     dummy_rng = jnp.zeros((2,), jnp.uint32)
@@ -162,9 +172,11 @@ def tacotron2_infer(params: Dict[str, Any], state: Dict[str, Any],
     memory, _ = encoder_apply(params["encoder"], state["encoder"], text, cfg,
                               train=False)
     memory = _condition_memory(params, memory, speaker_ids)
-    mel_coarse, gate_logits, alignments, n_frames = decoder_infer(
+    mask = (None if text_lengths is None
+            else make_pad_mask(text_lengths, text.shape[1]))
+    mel_coarse, gate_logits, alignments, n_frames, frame_ends = decoder_infer(
         params["decoder"], cfg, memory, max_steps, gate_threshold,
-        drop_first_frame=drop_first_frame)
+        drop_first_frame=drop_first_frame, mask=mask, stop_mode=stop_mode)
 
     residual, _ = postnet_apply(params["postnet"], state["postnet"],
                                 jnp.swapaxes(mel_coarse, 1, 2), cfg,
@@ -172,7 +184,7 @@ def tacotron2_infer(params: Dict[str, Any], state: Dict[str, Any],
     mel_postnet = mel_coarse + jnp.swapaxes(residual, 1, 2)
     out = Tacotron2Output(mel_postnet=mel_postnet, mel_coarse=mel_coarse,
                           gate_logits=gate_logits, alignments=alignments)
-    return out, n_frames
+    return out, n_frames, frame_ends
 
 
 def param_count(params) -> int:
@@ -186,7 +198,8 @@ import functools as _functools
 #: latency through a remote-tunneled device).
 tacotron2_infer_jit = _functools.partial(
     jax.jit, static_argnames=("cfg", "max_steps", "gate_threshold",
-                              "drop_first_frame"))(tacotron2_infer)
+                              "drop_first_frame", "stop_mode"))(
+    tacotron2_infer)
 
 
 def cast_params_bf16(params):

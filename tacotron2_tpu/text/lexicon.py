@@ -59,19 +59,17 @@ def parse_cmudict(path: str) -> Dict[str, Tuple[str, ...]]:
             rest = parts[1:]
             # NLTK format has a variant-number column: WORD 1 PH ...
             if rest and rest[0].isdigit() and len(rest) > 1:
-                variant = int(rest[0])
-                phones = rest[1:]
+                phones = rest[1:]          # NLTK format: WORD <n> PH ...
             else:
                 m = _VARIANT_PAREN.match(word)
-                if m:
-                    word, variant = m.group(1), int(m.group(2)) + 1
-                else:
-                    variant = 1
+                if m:                       # upstream format: WORD(2) PH ...
+                    word = m.group(1)
                 phones = rest
             key = word.lower()
-            if variant == 1 or key not in lex:
-                if key not in lex:
-                    lex[key] = tuple(phones)
+            # First entry wins: cmudict files list variant 1 first, which
+            # is the variant g2p_en uses (cmudict()[word][0]).
+            if key not in lex:
+                lex[key] = tuple(phones)
     return lex
 
 

@@ -68,9 +68,10 @@ def validate(state: TrainState, loader: BatchLoader, cfg: Config,
         total_ent += attention_entropy(aligns)
         count += 1
     if count == 0:
-        return {"mel": float("nan"), "gate": float("nan"), "entropy": 0.0}
+        return {"mel": float("nan"), "gate": float("nan"), "entropy": 0.0,
+                "batches": 0}
     return {"mel": total_mel / count, "gate": total_gate / count,
-            "entropy": total_ent / count}
+            "entropy": total_ent / count, "batches": count}
 
 
 def export_debug_inference(state: TrainState, batch: Dict[str, np.ndarray],
@@ -80,7 +81,7 @@ def export_debug_inference(state: TrainState, batch: Dict[str, np.ndarray],
     mels, phoneme txt, Griffin-Lim WAV, pairs.csv."""
     os.makedirs(export_dir, exist_ok=True)
     max_len_cap = int(batch["mel_lengths"].max() * 1.10)
-    out, n_frames = tacotron2_infer_jit(
+    out, n_frames, _ = tacotron2_infer_jit(
         state.params, state.model_state, cfg.model,
         jax.numpy.asarray(batch["text"]),
         max_steps=min(cfg.model.max_decoder_steps, max_len_cap))
@@ -163,8 +164,8 @@ def train(metadata_path: str, checkpoint_dir: str, *,
                                            n_speakers=dataset.n_speakers))
         logger.log(f"Multi-speaker corpus: {dataset.n_speakers} speakers")
 
-    state = create_train_state(cfg, debug=debug_overfit)
-    tx = make_optimizer(state.params, tcfg, debug=debug_overfit)
+    tx = make_optimizer(tcfg, debug=debug_overfit)
+    state = create_train_state(cfg, debug=debug_overfit, tx=tx)
 
     if debug_overfit:
         postnet_freeze_steps = 0           # reference: train.py:336-337
@@ -266,6 +267,11 @@ def train(metadata_path: str, checkpoint_dir: str, *,
 
         if val_loader is not None:
             metrics = validate(state, val_loader, cfg, sigma_warmup)
+            # The reference criterion advances its step counter on every
+            # forward, including validation (train.py:216,271) — keep the
+            # guided-attention sigma schedule in lockstep.
+            state = state._replace(
+                loss_step=state.loss_step + int(metrics["batches"]))
             logger.log(f"Validation | Epoch {epoch + 1} "
                        f"Mel {metrics['mel']:.4f} Gate {metrics['gate']:.4f} "
                        f"AttnEntropy {metrics['entropy']:.3f}")

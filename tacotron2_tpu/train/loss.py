@@ -93,7 +93,9 @@ def tacotron2_loss(mel_postnet: jnp.ndarray, mel_coarse: jnp.ndarray,
                    sigma_warmup_steps: Optional[int] = None) -> LossOutput:
     """Full loss.  mel_target is (B, n_mels, T) (reference layout);
     predictions are (B, T, n_mels)."""
-    sigma_warmup_steps = sigma_warmup_steps or g.sigma_warmup_steps
+    sigma_warmup_steps = (g.sigma_warmup_steps
+                          if sigma_warmup_steps is None
+                          else sigma_warmup_steps)
     b, t_dec, n_mels = mel_coarse.shape
     tgt = jnp.swapaxes(mel_target, 1, 2)                  # (B, T, n_mels)
 

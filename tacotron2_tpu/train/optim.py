@@ -30,8 +30,20 @@ def milestone_schedule(base_lr: float, milestones: Sequence[int],
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
-def make_optimizer(params: Dict[str, Any], cfg: TrainConfig,
+def _label_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Label each leaf 'attention' (under params['decoder']['attention'])
+    or 'base' for the two-LR Adam groups."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: "attention" if any(
+            getattr(p, "key", None) == "attention" for p in path)
+        else "base", params)
+
+
+def make_optimizer(cfg: TrainConfig,
                    debug: bool = False) -> optax.GradientTransformation:
+    """Build the optimizer.  Labels are computed from the param pytree at
+    init time (callable param_labels), so no params are needed here and
+    the same transformation serves any param structure."""
     base_lr = cfg.learning_rate
     mult = (cfg.debug_attention_lr_multiplier if debug
             else cfg.attention_lr_multiplier)
@@ -44,11 +56,9 @@ def make_optimizer(params: Dict[str, Any], cfg: TrainConfig,
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.multi_transform(
             {"base": optax.adam(base_sched, b1=0.9, b2=0.999, eps=1e-8),
-             "attention": optax.adam(attn_sched, b1=0.9, b2=0.999, eps=1e-8)},
-            param_labels=jax.tree_util.tree_map_with_path(
-                lambda path, _: "attention" if any(
-                    getattr(p, "key", None) == "attention" for p in path)
-                else "base", params),
+             "attention": optax.adam(attn_sched, b1=0.9, b2=0.999,
+                                     eps=1e-8)},
+            param_labels=_label_params,
         ),
     )
     return tx

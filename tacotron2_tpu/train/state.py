@@ -31,12 +31,16 @@ class TrainState(NamedTuple):
 
 
 def create_train_state(cfg: Config, seed: int | None = None,
-                       debug: bool = False) -> TrainState:
+                       debug: bool = False, tx=None) -> TrainState:
+    """Fresh TrainState.  Pass the optimizer ``tx`` that will drive
+    training so its state is initialized once from the same object; when
+    omitted (template construction, tests) an equivalent one is built."""
     seed = cfg.train.seed if seed is None else seed
     key = jax.random.PRNGKey(seed)
     k_init, k_drop = jax.random.split(key)
     params, model_state = tacotron2_init(k_init, cfg.model)
-    tx = make_optimizer(params, cfg.train, debug=debug)
+    if tx is None:
+        tx = make_optimizer(cfg.train, debug=debug)
     opt_state = tx.init(params)
     return TrainState(params=params, model_state=model_state,
                       opt_state=opt_state,

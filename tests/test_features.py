@@ -80,8 +80,9 @@ class TestMultiSpeaker:
         params, state = tacotron2_init(jax.random.PRNGKey(0), cfg)
         text = jnp.asarray(
             np.random.default_rng(0).integers(1, 72, (1, 9)), jnp.int32)
-        out, n = tacotron2_infer_jit(params, state, cfg, text, max_steps=8,
-                                     speaker_ids=jnp.asarray([2], jnp.int32))
+        out, n, _ = tacotron2_infer_jit(params, state, cfg, text,
+                                        max_steps=8,
+                                        speaker_ids=jnp.asarray([2], jnp.int32))
         assert int(n) >= 1
 
 

@@ -102,9 +102,10 @@ class TestInference:
         # gate bias -3 => sigmoid ~0.047 < 0.5: fresh model never stops early
         params, state = tacotron2_init(jax.random.PRNGKey(0), SMALL)
         text, _, _ = _batch(SMALL)
-        out, n_frames = tacotron2_infer(params, state, SMALL, text,
-                                        max_steps=20)
+        out, n_frames, ends = tacotron2_infer(params, state, SMALL, text,
+                                              max_steps=20)
         assert int(n_frames) == 20
+        assert np.asarray(ends).tolist() == [20, 20]  # no gate fired
         assert out.mel_postnet.shape == (2, 20, SMALL.n_mels)
 
     def test_gate_early_stop(self):
@@ -116,18 +117,46 @@ class TestInference:
         params["decoder"]["gate"]["b"] = jnp.full_like(
             params["decoder"]["gate"]["b"], 10.0)
         text, _, _ = _batch(SMALL)
-        out, n_frames = tacotron2_infer(params, state, SMALL, text,
-                                        max_steps=20)
+        out, n_frames, ends = tacotron2_infer(params, state, SMALL, text,
+                                              max_steps=20)
         # stop requires >1 recorded frames (reference: src/model.py:327)
         assert int(n_frames) == 2
+        assert np.asarray(ends).max() == 2
+
+    def test_stop_mode_all_tracks_per_item_ends(self):
+        params, state = tacotron2_init(jax.random.PRNGKey(0), SMALL)
+        params = jax.tree_util.tree_map(lambda x: x, params)
+        params["decoder"] = dict(params["decoder"])
+        params["decoder"]["gate"] = dict(params["decoder"]["gate"])
+        params["decoder"]["gate"]["b"] = jnp.full_like(
+            params["decoder"]["gate"]["b"], 10.0)
+        text, _, _ = _batch(SMALL)
+        out, n_frames, ends = tacotron2_infer(params, state, SMALL, text,
+                                              max_steps=20, stop_mode="all")
+        assert int(n_frames) == 2
+        assert np.asarray(ends).tolist() == [2, 2]
+
+    def test_padded_inference_masks_attention(self):
+        """With text_lengths, padded encoder positions get no attention —
+        the unmasked-padding hazard batched callers would otherwise hit."""
+        params, state = tacotron2_init(jax.random.PRNGKey(0), SMALL)
+        rng = np.random.default_rng(7)
+        text = np.zeros((1, 16), np.int32)
+        text[0, :9] = rng.integers(1, 72, 9)
+        out, n, _ = tacotron2_infer(
+            params, state, SMALL, jnp.asarray(text), max_steps=10,
+            text_lengths=jnp.asarray([9], jnp.int32))
+        a = np.asarray(out.alignments)[:, :int(n)]
+        assert a[0, :, 9:].max() < 1e-6
+        np.testing.assert_allclose(a.sum(-1), 1.0, atol=1e-5)
 
     def test_drop_first_frame_quirk(self):
         params, state = tacotron2_init(jax.random.PRNGKey(0), SMALL)
         text, _, _ = _batch(SMALL)
-        out_drop, _ = tacotron2_infer(params, state, SMALL, text,
-                                      max_steps=10, drop_first_frame=True)
-        out_keep, _ = tacotron2_infer(params, state, SMALL, text,
-                                      max_steps=10, drop_first_frame=False)
+        out_drop, _, _ = tacotron2_infer(params, state, SMALL, text,
+                                         max_steps=10, drop_first_frame=True)
+        out_keep, _, _ = tacotron2_infer(params, state, SMALL, text,
+                                         max_steps=10, drop_first_frame=False)
         a = np.asarray(out_drop.mel_coarse)[:, 0]
         b = np.asarray(out_keep.mel_coarse)[:, 1]
         # dropped-first-frame: frame k of the drop variant equals frame k+1
@@ -203,9 +232,9 @@ class TestTorchParity:
         with torch.no_grad():
             r_post, r_coarse, r_gate, _ = ref.inference(
                 torch.from_numpy(text), max_len_cap=12)
-        out, n_frames = tacotron2_infer(params, state, CFG,
-                                        jnp.asarray(text, jnp.int32),
-                                        max_steps=12)
+        out, n_frames, _ = tacotron2_infer(params, state, CFG,
+                                           jnp.asarray(text, jnp.int32),
+                                           max_steps=12)
         n = int(n_frames)
         assert n == r_coarse.shape[1]
         np.testing.assert_allclose(np.asarray(out.mel_coarse)[:, :n],

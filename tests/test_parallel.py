@@ -47,7 +47,7 @@ class TestDataParallel:
         sigma = 800
 
         state0 = create_train_state(SMALL, seed=0)
-        tx = make_optimizer(state0.params, SMALL.train)
+        tx = make_optimizer(SMALL.train)
         _, losses_single, _ = train_step(
             state0, {k: jnp.asarray(v) for k, v in batch.items()},
             cfg=SMALL, tx=tx, use_postnet=True, sigma_warmup_steps=sigma)
@@ -70,7 +70,7 @@ class TestDataParallel:
         mesh = make_mesh(n_data=4, n_model=2)
         batch = _batch(b=4)
         state = create_train_state(SMALL, seed=0)
-        tx = make_optimizer(state.params, SMALL.train)
+        tx = make_optimizer(SMALL.train)
         with mesh:
             state = shard_train_state(mesh, state, tensor_parallel=True)
             db = shard_batch(mesh, batch)

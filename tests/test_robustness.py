@@ -61,8 +61,9 @@ class TestInferenceRobustness:
     def test_minimal_one_token_input(self):
         params, state = tacotron2_init(jax.random.PRNGKey(0), SMALL)
         tokens = np.zeros((1, 1), np.int32)
-        out, n = tacotron2_infer_jit(params, state, SMALL,
-                                     jax.numpy.asarray(tokens), max_steps=8)
+        out, n, _ = tacotron2_infer_jit(params, state, SMALL,
+                                        jax.numpy.asarray(tokens),
+                                        max_steps=8)
         assert int(n) >= 1
         assert np.isfinite(np.asarray(out.mel_postnet)).all()
 
@@ -71,8 +72,9 @@ class TestInferenceRobustness:
         rng = np.random.default_rng(0)
         row = rng.integers(1, 72, (1, 9))
         tokens = np.repeat(row, 3, axis=0).astype(np.int32)
-        out, n = tacotron2_infer_jit(params, state, SMALL,
-                                     jax.numpy.asarray(tokens), max_steps=10)
+        out, n, _ = tacotron2_infer_jit(params, state, SMALL,
+                                        jax.numpy.asarray(tokens),
+                                        max_steps=10)
         m = np.asarray(out.mel_postnet)
         np.testing.assert_allclose(m[0], m[1], atol=1e-5)
         np.testing.assert_allclose(m[0], m[2], atol=1e-5)

@@ -161,7 +161,7 @@ def _train_batch(cfg, b=2, t_enc=8, t_dec=16, seed=0):
 class TestTrainStep:
     def test_loss_decreases_on_fixed_batch(self):
         state = create_train_state(SMALL, seed=0)
-        tx = make_optimizer(state.params, SMALL.train)
+        tx = make_optimizer(SMALL.train)
         batch = _train_batch(SMALL)
         first = last = None
         for _ in range(12):
@@ -177,7 +177,7 @@ class TestTrainStep:
 
     def test_accum_matches_counterpart_counters(self):
         state = create_train_state(SMALL, seed=0)
-        tx = make_optimizer(state.params, SMALL.train)
+        tx = make_optimizer(SMALL.train)
         b = _train_batch(SMALL)
         micro = {k: jnp.stack([v, v]) for k, v in b.items()}
         state2, losses, aligns = train_step_accum(
@@ -198,7 +198,7 @@ class TestTrainStep:
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         state = create_train_state(SMALL, seed=0)
-        tx = make_optimizer(state.params, SMALL.train)
+        tx = make_optimizer(SMALL.train)
         batch = _train_batch(SMALL)
         state, _, _ = train_step(state, batch, cfg=SMALL, tx=tx,
                                  use_postnet=True, sigma_warmup_steps=800)
