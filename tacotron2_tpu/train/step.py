@@ -13,6 +13,12 @@ micro-batch, like the reference's per-forward counter (train.py:216).
 Under a data-parallel mesh these functions are simply jitted with sharded
 inputs — GSPMD inserts the gradient ``psum`` and makes BatchNorm batch
 statistics global automatically.
+
+The incoming TrainState is donated to the step (its buffers are reused for
+the updated state — params + Adam moments are ~340 MB that would otherwise
+be copied every step); callers must rebind, which every call site does
+(``state = train_step(state, ...)``).  CPU tests ignore donation with a
+warning.
 """
 
 from __future__ import annotations
@@ -45,7 +51,8 @@ def _forward_loss(params, model_state, cfg: Config, batch, rng, loss_step,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tx", "use_postnet",
-                                             "sigma_warmup_steps"))
+                                             "sigma_warmup_steps"),
+                   donate_argnums=(0,))
 def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
                cfg: Config, tx: optax.GradientTransformation,
                use_postnet: bool, sigma_warmup_steps: int
@@ -70,7 +77,8 @@ def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "tx", "use_postnet",
                                              "sigma_warmup_steps",
-                                             "accum_steps"))
+                                             "accum_steps"),
+                   donate_argnums=(0,))
 def train_step_accum(state: TrainState, batch: Dict[str, jnp.ndarray], *,
                      cfg: Config, tx: optax.GradientTransformation,
                      use_postnet: bool, sigma_warmup_steps: int,
