@@ -1,0 +1,59 @@
+"""Streaming decode tests: chunked generator matches the monolithic decode."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tacotron2_tpu.config import Config, ModelConfig
+from tacotron2_tpu.infer.streaming import stream_mels
+from tacotron2_tpu.models import tacotron2_infer, tacotron2_init
+from tacotron2_tpu.text import pad_sequences, text_to_sequence
+
+SMALL = Config(model=ModelConfig(
+    symbols_embedding_dim=32, encoder_embedding_dim=32, decoder_rnn_dim=48,
+    prenet_dim=16, attention_rnn_dim=48, attention_dim=24,
+    location_n_filters=8, location_kernel_size=15,
+    postnet_embedding_dim=24, max_decoder_steps=40))
+
+
+class TestStreaming:
+    def test_chunks_match_monolithic_decode(self):
+        params, state = tacotron2_init(jax.random.PRNGKey(0), SMALL.model)
+        text = "Streaming matches batch decoding."
+
+        chunks = list(stream_mels(params, state, text, SMALL,
+                                  chunk_frames=7, max_steps=30))
+        streamed = np.concatenate(chunks, axis=0)
+
+        seq = text_to_sequence(text)
+        tokens, lengths = pad_sequences([seq], pad_multiple=16)
+        out, n, _ = tacotron2_infer(
+            params, state, SMALL.model, jnp.asarray(tokens), max_steps=30,
+            text_lengths=jnp.asarray(lengths))
+        mono = np.asarray(out.mel_coarse)[0, :int(n)]
+
+        assert streamed.shape == mono.shape
+        np.testing.assert_allclose(streamed, mono, atol=1e-5)
+
+    def test_multiple_chunk_sizes_agree(self):
+        params, state = tacotron2_init(jax.random.PRNGKey(1), SMALL.model)
+        a = np.concatenate(list(stream_mels(params, state, "Hello world.",
+                                            SMALL, chunk_frames=4,
+                                            max_steps=20)))
+        b = np.concatenate(list(stream_mels(params, state, "Hello world.",
+                                            SMALL, chunk_frames=16,
+                                            max_steps=20)))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_gate_stop_truncates_stream(self):
+        params, state = tacotron2_init(jax.random.PRNGKey(0), SMALL.model)
+        params = jax.tree_util.tree_map(lambda x: x, params)
+        params["decoder"] = dict(params["decoder"])
+        params["decoder"]["gate"] = dict(params["decoder"]["gate"])
+        params["decoder"]["gate"]["b"] = jnp.full_like(
+            params["decoder"]["gate"]["b"], 10.0)
+        chunks = list(stream_mels(params, state, "Short.", SMALL,
+                                  chunk_frames=8, max_steps=30))
+        total = sum(c.shape[0] for c in chunks)
+        assert total == 2  # gate fires as soon as >1 frames are out
