@@ -39,30 +39,22 @@ def main():
 
     if args.batch_file:
         from tacotron2_tpu.config import Config
-        from tacotron2_tpu.dsp import mel_to_audio, save_wav
+        from tacotron2_tpu.dsp import save_wav
         from tacotron2_tpu.infer import (load_model, next_output_path,
                                          synthesize_mels)
+        from tacotron2_tpu.infer.vocode import try_load_hifigan, vocode_mel
         with open(args.batch_file, "r", encoding="utf-8") as f:
             texts = [line.strip() for line in f if line.strip()]
         if not texts:
             parser.error("--batch_file is empty")
         cfg = Config()
         params, model_state = load_model(args.checkpoint, cfg)
-        vocode = None
-        if args.vocoder == "hifigan":
-            try:
-                from tacotron2_tpu.models.hifigan import load_hifigan_vocoder
-                vocode = load_hifigan_vocoder()
-            except FileNotFoundError as e:
-                print(f"HiFi-GAN unavailable ({e}); using Griffin-Lim.")
+        vocode = try_load_hifigan() if args.vocoder == "hifigan" else None
         print(f"Batch synthesis: {len(texts)} texts in one decode")
         mels, _ = synthesize_mels(params, model_state, texts, cfg)
         for mel in mels:
-            if vocode is not None:
-                wav = vocode(mel.T[None])[0]
-            else:
-                wav = mel_to_audio(mel.T, n_iter=args.griffinlim_iters,
-                                   cfg=cfg.audio)
+            wav = vocode_mel(mel, cfg.audio, vocoder=vocode,
+                             griffinlim_iters=args.griffinlim_iters)
             out_path = next_output_path(args.output_dir)
             save_wav(out_path, wav, cfg.audio.sampling_rate)
             print(f"  -> {out_path} ({mel.shape[0]} frames)")
@@ -83,13 +75,8 @@ def main():
                                          synthesize_longform)
         cfg = Config()
         params, model_state = load_model(args.checkpoint, cfg)
-        vocode = None
-        if args.vocoder == "hifigan":
-            try:
-                from tacotron2_tpu.models.hifigan import load_hifigan_vocoder
-                vocode = load_hifigan_vocoder()
-            except FileNotFoundError as e:
-                print(f"HiFi-GAN unavailable ({e}); using Griffin-Lim.")
+        from tacotron2_tpu.infer.vocode import try_load_hifigan
+        vocode = try_load_hifigan() if args.vocoder == "hifigan" else None
         wav, mels = synthesize_longform(
             params, model_state, text, cfg, vocoder=vocode,
             griffinlim_iters=args.griffinlim_iters)

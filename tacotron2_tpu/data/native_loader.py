@@ -65,12 +65,17 @@ def native_available() -> bool:
     return get_library() is not None
 
 
-def decode_wav(path: str, max_samples: int = 1 << 26
-               ) -> Tuple[np.ndarray, int]:
-    """Decode one WAV with the native decoder. Raises if unavailable."""
+def decode_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Decode one WAV with the native decoder. Raises if unavailable.
+
+    The scratch buffer is sized from the file: mono sample count can never
+    exceed the byte size (>=1 byte/sample in every supported encoding), so
+    silent truncation is impossible."""
     lib = get_library()
     if lib is None:
         raise RuntimeError("native loader not available")
+    max_samples = max(os.path.getsize(path), 64) if os.path.isfile(path) \
+        else 64
     out = np.empty(max_samples, np.float32)
     rate = ctypes.c_int32(0)
     n = lib.t2x_decode_wav(

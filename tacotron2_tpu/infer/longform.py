@@ -19,8 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..dsp.griffinlim import mel_to_audio
 from ..models import tacotron2_infer_jit
+from .vocode import vocode_mel
 from ..text import pad_sequences, text_to_sequence
 
 _SENTENCE_SPLIT = re.compile(r"(?<=[.!?;])\s+")
@@ -99,10 +99,8 @@ def synthesize_longform(params, model_state, text: str,
                        np.float32)
     pieces: List[np.ndarray] = []
     for i, mel in enumerate(mels):
-        if vocoder is not None:
-            wav = np.asarray(vocoder(mel.T[None])[0])
-        else:
-            wav = mel_to_audio(mel.T, n_iter=griffinlim_iters, cfg=cfg.audio)
+        wav = vocode_mel(mel, cfg.audio, vocoder=vocoder,
+                         griffinlim_iters=griffinlim_iters)
         pieces.append(np.asarray(wav, np.float32))
         if i < len(mels) - 1:
             pieces.append(silence)

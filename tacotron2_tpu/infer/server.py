@@ -26,8 +26,8 @@ from typing import Optional
 import numpy as np
 
 from ..config import Config
-from ..dsp.griffinlim import mel_to_audio
 from .synthesize import load_model, synthesize_mels
+from .vocode import vocode_mel
 
 
 def _wav_bytes(audio: np.ndarray, sr: int) -> bytes:
@@ -69,23 +69,12 @@ class TTSService:
             self._requests += 1
             mels, _ = synthesize_mels(self.params, self.model_state, [text],
                                       self.cfg)
-            mel = mels[0]                                  # (T, n_mels)
-            # Quantize the vocoder's time axis (pad with the log floor) so
-            # steady-state traffic reuses one compiled vocoder program per
-            # 128-frame bucket instead of compiling per trimmed length.
-            t_true = mel.shape[0]
-            t_pad = -(-t_true // 128) * 128
-            if t_pad > t_true:
-                mel = np.concatenate(
-                    [mel, np.full((t_pad - t_true, mel.shape[1]),
-                                  np.log(self.cfg.audio.mel_eps),
-                                  mel.dtype)], axis=0)
-            if vocoder == "hifigan":
-                audio = np.asarray(self._vocoder()(mel.T[None])[0])
-            else:
-                audio = mel_to_audio(mel.T, n_iter=self.griffinlim_iters,
-                                     cfg=self.cfg.audio)
-            audio = audio[: t_true * self.cfg.audio.hop_length]
+            # vocode_mel pads to 128-frame buckets so steady-state traffic
+            # reuses compiled vocoder programs.
+            audio = vocode_mel(
+                mels[0], self.cfg.audio,
+                vocoder=self._vocoder() if vocoder == "hifigan" else None,
+                griffinlim_iters=self.griffinlim_iters)
         return _wav_bytes(audio, self.cfg.audio.sampling_rate)
 
     @property

@@ -91,20 +91,28 @@ def stream_mels(params, model_state, text: str,
 
     carry = init_carry(1, tokens.shape[1], mcfg)
     mel_in = jnp.zeros((1, mcfg.n_mels), jnp.float32)
-    if drop_first_frame:
-        # reference diagnostic-step quirk (src/model.py:309-316)
-        carry, mel_in, _, _ = _decode_chunk(
-            params, mcfg, carry, mel_in, memory, processed, mask, 1)
-        mel_in = mel_in  # first frame feeds forward, is not yielded
 
-    produced = 0
+    # Exactly TWO compiled programs run this generator: _encode and the
+    # fixed-K _decode_chunk.  The tail is trimmed on host rather than
+    # compiling a smaller-K program, and the reference's dropped-first-
+    # frame quirk (src/model.py:309-316) is realized by discarding the
+    # first frame of the first chunk (the scan feeds it forward
+    # internally, so the state trajectory is identical).
+    produced = 0            # recorded (yielded) frame count
+    first_chunk = drop_first_frame
     while produced < max_steps:
-        k = min(chunk_frames, max_steps - produced)
         carry, mel_in, mels, gates = _decode_chunk(
-            params, mcfg, carry, mel_in, memory, processed, mask, k)
-        mels_np = np.asarray(mels)[0]                      # (k, n_mels)
-        sig = 1.0 / (1.0 + np.exp(-np.asarray(gates)[0]))  # (k,)
-        # gate semantics: stop once >1 total frames AND sigmoid > thr
+            params, mcfg, carry, mel_in, memory, processed, mask,
+            chunk_frames)
+        mels_np = np.asarray(mels)[0]                      # (K, n_mels)
+        sig = 1.0 / (1.0 + np.exp(-np.asarray(gates)[0]))  # (K,)
+        if first_chunk:
+            mels_np = mels_np[1:]
+            sig = sig[1:]
+            first_chunk = False
+        k = min(len(mels_np), max_steps - produced)
+        mels_np, sig = mels_np[:k], sig[:k]
+        # gate semantics: stop once >1 total recorded frames AND sig > thr
         fired = np.nonzero((sig > thr)
                            & (np.arange(produced + 1,
                                         produced + k + 1) > 1))[0]

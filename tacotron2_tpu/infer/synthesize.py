@@ -15,7 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..dsp.griffinlim import mel_to_audio
 from ..dsp.wav import save_wav
 from ..models import tacotron2_infer_jit
 from ..text import pad_sequences, text_to_sequence
@@ -99,14 +98,8 @@ def synthesize(text: str, checkpoint_path: str, output_dir: str,
     params, model_state = load_model(checkpoint_path, cfg)
     print("Tacotron 2 model loaded.")
 
-    vocode = None
-    if vocoder.lower() == "hifigan":
-        from ..models.hifigan import load_hifigan_vocoder
-        try:
-            vocode = load_hifigan_vocoder()
-            print("HiFi-GAN vocoder loaded.")
-        except FileNotFoundError as e:
-            print(f"HiFi-GAN unavailable ({e}); falling back to Griffin-Lim.")
+    from .vocode import try_load_hifigan, vocode_mel
+    vocode = try_load_hifigan() if vocoder.lower() == "hifigan" else None
     if vocode is None:
         print("Using Griffin-Lim vocoder.")
 
@@ -115,10 +108,8 @@ def synthesize(text: str, checkpoint_path: str, output_dir: str,
     mel = mels[0]                                   # (T, n_mels)
     print_mel_stats(mel, "Pred PostNet Mel")
 
-    if vocode is not None:
-        audio = vocode(mel.T[None])[0]              # (n_mels, T) batch of 1
-    else:
-        audio = mel_to_audio(mel.T, n_iter=griffinlim_iters, cfg=cfg.audio)
+    audio = vocode_mel(mel, cfg.audio, vocoder=vocode,
+                       griffinlim_iters=griffinlim_iters)
 
     out_path = next_output_path(output_dir)
     save_wav(out_path, np.asarray(audio), cfg.audio.sampling_rate)

@@ -1,0 +1,55 @@
+"""Shared vocoding helper with compile-stable shapes.
+
+Gate-trimmed mels have arbitrary lengths; vocoding each exact length would
+compile a fresh XLA program per length.  This helper pads the time axis to
+128-frame buckets (log-floor frames), vocodes, and trims the audio back —
+steady-state traffic reuses a handful of compiled vocoder programs.
+Used by the CLI batch/single paths, long-form synthesis, the debug export,
+and the HTTP server.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..config import AudioConfig
+from ..dsp.griffinlim import mel_to_audio
+
+_FRAME_BUCKET = 128
+
+
+def vocode_mel(mel: np.ndarray, cfg: AudioConfig,
+               vocoder: Optional[Callable] = None,
+               griffinlim_iters: int = 60) -> np.ndarray:
+    """(T, n_mels) log-mel -> waveform (T * hop samples).
+
+    ``vocoder``: optional callable (B, n_mels, T) -> (B, samples) (e.g. the
+    HiFi-GAN closure); None uses Griffin-Lim.
+    """
+    t_true = int(mel.shape[0])
+    t_pad = -(-t_true // _FRAME_BUCKET) * _FRAME_BUCKET
+    if t_pad > t_true:
+        mel = np.concatenate(
+            [mel, np.full((t_pad - t_true, mel.shape[1]),
+                          np.log(cfg.mel_eps), mel.dtype)], axis=0)
+    if vocoder is not None:
+        audio = np.asarray(vocoder(mel.T[None])[0])
+    else:
+        audio = np.asarray(mel_to_audio(mel.T, n_iter=griffinlim_iters,
+                                        cfg=cfg))
+    return audio[: t_true * cfg.hop_length]
+
+
+def try_load_hifigan(checkpoint_path: Optional[str] = None):
+    """Load the HiFi-GAN vocoder, returning None (with a message) on ANY
+    failure — missing checkpoint, missing torch, wrong layout — so callers
+    fall back to Griffin-Lim instead of crashing."""
+    try:
+        from ..models.hifigan import load_hifigan_vocoder
+        return load_hifigan_vocoder(checkpoint_path)
+    except Exception as e:
+        print(f"HiFi-GAN unavailable ({type(e).__name__}: {e}); "
+              f"falling back to Griffin-Lim.")
+        return None

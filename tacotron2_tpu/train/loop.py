@@ -33,7 +33,6 @@ import numpy as np
 
 from ..config import Config
 from ..data import BatchLoader, TextMelDataset, collate
-from ..dsp.griffinlim import mel_to_audio
 from ..dsp.wav import save_wav
 from ..models import init_projection_bias, tacotron2_infer_jit
 from ..text import sequence_to_text
@@ -112,7 +111,8 @@ def export_debug_inference(state: TrainState, batch: Dict[str, np.ndarray],
 
         wav_file = ""
         try:
-            wav = mel_to_audio(mel_b.T, cfg=cfg.audio)
+            from ..infer.vocode import vocode_mel
+            wav = vocode_mel(mel_b, cfg.audio)
             wav_file = f"debug_infer_{b}.wav"
             save_wav(os.path.join(export_dir, wav_file), wav,
                      cfg.audio.sampling_rate)
