@@ -63,6 +63,30 @@ class TestBatchDecode:
         assert (rates == 22050).all()
         np.testing.assert_allclose(batch, ref, atol=1e-7)
 
+    def test_fuzz_random_bytes_never_crash(self, tmp_path):
+        """The C parser must reject arbitrary garbage without crashing the
+        process (truncated headers, lying chunk sizes, huge declared
+        lengths)."""
+        rng = np.random.default_rng(11)
+        paths = []
+        for i in range(24):
+            p = str(tmp_path / f"fuzz{i}.wav")
+            n = int(rng.integers(0, 2000))
+            blob = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            if i % 3 == 0:  # valid magic, garbage body
+                blob = b"RIFF" + blob[:40] + b"WAVE" + blob[40:]
+            if i % 5 == 0:  # fmt/data headers with lying sizes
+                blob = (b"RIFF\xff\xff\xff\xffWAVEfmt "
+                        + b"\x10\x00\x00\x00" + blob[:16]
+                        + b"data\xff\xff\xff\xff" + blob[16:])
+            open(p, "wb").write(blob)
+            paths.append(p)
+        batch, lengths, _ = decode_batch_padded(paths, 512, 1 << 15)
+        assert batch.shape == (24, 1 << 15)
+        assert np.isfinite(batch).all()
+        # nothing valid should decode to a "success" with real audio length
+        assert (lengths >= 0).all()
+
     def test_failed_file_marked_zero_length(self, wav_files, tmp_path):
         paths, sigs, _ = wav_files
         bad = str(tmp_path / "bad.wav")
