@@ -10,8 +10,19 @@ a long-form mode for paragraph input (the reference's input.txt workload):
 """
 
 import argparse
+import dataclasses
 
 import numpy as np
+
+
+def _make_cfg(args):
+    from tacotron2_tpu.config import Config
+    cfg = Config()
+    if args.n_speakers > 1:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           n_speakers=args.n_speakers))
+    return cfg
 
 
 def main():
@@ -32,13 +43,17 @@ def main():
     parser.add_argument("--vocoder", type=str, default="hifigan",
                         choices=["hifigan", "griffinlim"])
     parser.add_argument("--griffinlim_iters", type=int, default=60)
+    parser.add_argument("--speaker_id", type=int, default=None,
+                        help="Speaker index for multi-speaker checkpoints.")
+    parser.add_argument("--n_speakers", type=int, default=1,
+                        help="Speaker-table size of the checkpoint "
+                             "(must match training).")
     args = parser.parse_args()
 
     from tacotron2_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
 
     if args.batch_file:
-        from tacotron2_tpu.config import Config
         from tacotron2_tpu.dsp import save_wav
         from tacotron2_tpu.infer import (load_model, next_output_path,
                                          synthesize_mels)
@@ -47,11 +62,12 @@ def main():
             texts = [line.strip() for line in f if line.strip()]
         if not texts:
             parser.error("--batch_file is empty")
-        cfg = Config()
+        cfg = _make_cfg(args)
         params, model_state = load_model(args.checkpoint, cfg)
         vocode = try_load_hifigan() if args.vocoder == "hifigan" else None
         print(f"Batch synthesis: {len(texts)} texts in one decode")
-        mels, _ = synthesize_mels(params, model_state, texts, cfg)
+        mels, _ = synthesize_mels(params, model_state, texts, cfg,
+                                  speaker_id=args.speaker_id)
         for mel in mels:
             wav = vocode_mel(mel, cfg.audio, vocoder=vocode,
                              griffinlim_iters=args.griffinlim_iters)
@@ -69,17 +85,17 @@ def main():
         parser.error("provide TEXT, --input_file, or --batch_file")
 
     if args.longform:
-        from tacotron2_tpu.config import Config
         from tacotron2_tpu.dsp import save_wav
         from tacotron2_tpu.infer import (load_model, next_output_path,
                                          synthesize_longform)
-        cfg = Config()
+        cfg = _make_cfg(args)
         params, model_state = load_model(args.checkpoint, cfg)
         from tacotron2_tpu.infer.vocode import try_load_hifigan
         vocode = try_load_hifigan() if args.vocoder == "hifigan" else None
         wav, mels = synthesize_longform(
             params, model_state, text, cfg, vocoder=vocode,
-            griffinlim_iters=args.griffinlim_iters)
+            griffinlim_iters=args.griffinlim_iters,
+            speaker_id=args.speaker_id)
         out_path = next_output_path(args.output_dir)
         save_wav(out_path, np.asarray(wav), cfg.audio.sampling_rate)
         print(f"\nAudio ({len(mels)} sentences, "
@@ -89,7 +105,8 @@ def main():
         from tacotron2_tpu.infer import synthesize
         synthesize(text=text, checkpoint_path=args.checkpoint,
                    output_dir=args.output_dir, vocoder=args.vocoder,
-                   griffinlim_iters=args.griffinlim_iters)
+                   griffinlim_iters=args.griffinlim_iters,
+                   cfg=_make_cfg(args), speaker_id=args.speaker_id)
 
 
 if __name__ == "__main__":

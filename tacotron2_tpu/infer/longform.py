@@ -46,7 +46,8 @@ def synthesize_longform(params, model_state, text: str,
                         silence_ms: float = 120.0,
                         token_buckets: Sequence[int] = (32, 64, 128, 256),
                         vocoder=None,
-                        griffinlim_iters: int = 60
+                        griffinlim_iters: int = 60,
+                        speaker_id: Optional[int] = None
                         ) -> Tuple[np.ndarray, List[np.ndarray]]:
     """Paragraph -> (waveform, per-sentence mels).
 
@@ -83,10 +84,13 @@ def synthesize_longform(params, model_state, text: str,
     for bucket, idxs in sorted(groups.items()):
         chunk_seqs = [seqs[i] for i in idxs]
         tokens, lengths = pad_sequences(chunk_seqs, pad_to=bucket)
+        speaker_ids = (None if speaker_id is None else
+                       jnp.full((len(idxs),), speaker_id, jnp.int32))
         out, n_frames, frame_ends = tacotron2_infer_jit(
             params, model_state, cfg.model, jnp.asarray(tokens),
             max_steps=max_steps, gate_threshold=gate_threshold,
             drop_first_frame=True, text_lengths=jnp.asarray(lengths),
+            speaker_ids=speaker_ids,
             stop_mode="all" if len(idxs) > 1 else "any")
         n = int(n_frames)
         mel_post = np.asarray(out.mel_postnet)[:, :n]

@@ -3,8 +3,9 @@
 Serving layer (new capability — the reference is CLI-only): preloads the
 model once, keeps the jitted decode warm, and exposes
 
-    POST /synthesize   {"text": "...", "vocoder": "griffinlim"|"hifigan"}
-        -> audio/wav bytes (22.05 kHz float32 WAV)
+    POST /synthesize   {"text": "...", "vocoder": "griffinlim"|"hifigan",
+                        "speaker_id": 0}
+        -> audio/wav bytes (22.05 kHz 16-bit WAV)
     GET  /healthz      -> {"status": "ok", ...}
 
 Requests synthesize through the same pipeline as the CLI
@@ -64,11 +65,12 @@ class TTSService:
             self._hifigan = load_hifigan_vocoder()
         return self._hifigan
 
-    def synthesize(self, text: str, vocoder: str = "griffinlim") -> bytes:
+    def synthesize(self, text: str, vocoder: str = "griffinlim",
+                   speaker_id=None) -> bytes:
         with self._lock:
             self._requests += 1
             mels, _ = synthesize_mels(self.params, self.model_state, [text],
-                                      self.cfg)
+                                      self.cfg, speaker_id=speaker_id)
             # vocode_mel pads to 128-frame buckets so steady-state traffic
             # reuses compiled vocoder programs.
             audio = vocode_mel(
@@ -117,7 +119,13 @@ def make_handler(service: TTSService):
                 if vocoder not in ("griffinlim", "hifigan"):
                     self._json(400, {"error": f"unknown vocoder {vocoder!r}"})
                     return
-                wav = service.synthesize(text, vocoder)
+                speaker_id = payload.get("speaker_id")
+                if speaker_id is not None and not isinstance(speaker_id,
+                                                             int):
+                    self._json(400, {"error": "speaker_id must be an int"})
+                    return
+                wav = service.synthesize(text, vocoder,
+                                         speaker_id=speaker_id)
             except json.JSONDecodeError:
                 self._json(400, {"error": "invalid JSON body"})
                 return

@@ -38,18 +38,32 @@ def print_mel_stats(mel, tag: str) -> None:
 
 
 def load_model(checkpoint_path: str, cfg: Optional[Config] = None):
-    """Load (params, model_state) from any framework checkpoint."""
+    """Load (params, model_state) from any framework checkpoint.
+
+    ``cfg`` must match the checkpoint's architecture (multi-speaker
+    checkpoints need ``cfg.model.n_speakers`` set, e.g. via the CLIs'
+    ``--n_speakers``)."""
+    import os
     cfg = cfg or Config()
+    if not os.path.exists(checkpoint_path):
+        raise SystemExit(f"error: checkpoint not found: {checkpoint_path}")
     template = create_train_state(cfg)
-    params, model_state, _, _, _ = load_any_checkpoint(
-        checkpoint_path, template)
+    try:
+        params, model_state, _, _, _ = load_any_checkpoint(
+            checkpoint_path, template)
+    except Exception as e:
+        raise SystemExit(
+            f"error: could not load checkpoint {checkpoint_path!r}: "
+            f"{type(e).__name__}: {e}\n(multi-speaker checkpoints need "
+            f"--n_speakers to match)")
     return params, model_state
 
 
 def synthesize_mels(params, model_state, texts: Sequence[str],
                     cfg: Optional[Config] = None,
                     max_steps: Optional[int] = None,
-                    gate_threshold: Optional[float] = None
+                    gate_threshold: Optional[float] = None,
+                    speaker_id: Optional[int] = None
                     ) -> Tuple[List[np.ndarray], np.ndarray]:
     """Texts -> list of (T_i, n_mels) postnet mels (gate-trimmed per item).
 
@@ -61,10 +75,12 @@ def synthesize_mels(params, model_state, texts: Sequence[str],
     cfg = cfg or Config()
     seqs = [text_to_sequence(t) for t in texts]
     tokens, lengths = pad_sequences(seqs, pad_multiple=16)
+    speaker_ids = (None if speaker_id is None else
+                   jnp.full((len(texts),), speaker_id, jnp.int32))
     out, n_frames, frame_ends = tacotron2_infer_jit(
         params, model_state, cfg.model, jnp.asarray(tokens),
         max_steps=max_steps, gate_threshold=gate_threshold,
-        text_lengths=jnp.asarray(lengths),
+        text_lengths=jnp.asarray(lengths), speaker_ids=speaker_ids,
         stop_mode="all" if len(texts) > 1 else "any")
     n = int(n_frames)
     mel_post = np.asarray(out.mel_postnet)[:, :n]
@@ -91,7 +107,8 @@ def next_output_path(output_dir: str, stem: str = "output",
 def synthesize(text: str, checkpoint_path: str, output_dir: str,
                vocoder: str = "griffinlim",
                cfg: Optional[Config] = None,
-               griffinlim_iters: int = 60) -> str:
+               griffinlim_iters: int = 60,
+               speaker_id: Optional[int] = None) -> str:
     """Full single-utterance pipeline; returns the written WAV path."""
     cfg = cfg or Config()
     print("Loading Tacotron 2 model...")
@@ -104,7 +121,8 @@ def synthesize(text: str, checkpoint_path: str, output_dir: str,
         print("Using Griffin-Lim vocoder.")
 
     print("Processing input text + generating mel spectrogram...")
-    mels, _ = synthesize_mels(params, model_state, [text], cfg)
+    mels, _ = synthesize_mels(params, model_state, [text], cfg,
+                              speaker_id=speaker_id)
     mel = mels[0]                                   # (T, n_mels)
     print_mel_stats(mel, "Pred PostNet Mel")
 

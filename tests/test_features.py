@@ -74,6 +74,18 @@ class TestMultiSpeaker:
         params, _ = tacotron2_init(jax.random.PRNGKey(0), SMALL_MODEL)
         assert "speaker" not in params
 
+    def test_synthesize_mels_speaker_selection(self):
+        import dataclasses
+        from tacotron2_tpu.infer import synthesize_mels
+        cfg_m = dataclasses.replace(SMALL_MODEL, n_speakers=4)
+        cfg = Config(model=cfg_m)
+        params, state = tacotron2_init(jax.random.PRNGKey(0), cfg_m)
+        a, _ = synthesize_mels(params, state, ["Hello."], cfg, max_steps=8,
+                               speaker_id=0)
+        b, _ = synthesize_mels(params, state, ["Hello."], cfg, max_steps=8,
+                               speaker_id=3)
+        assert not np.allclose(a[0], b[0])
+
     def test_multispeaker_inference(self):
         import dataclasses
         cfg = dataclasses.replace(SMALL_MODEL, n_speakers=4)
