@@ -4,12 +4,13 @@
 Headline: batch-1 synthesis real-time factor (RTF) on one chip — wall time
 to generate audio divided by audio duration — for the full pipeline the
 reference's config 1 exercises (autoregressive Tacotron 2 mel decode +
-Griffin-Lim vocoder; reference: inference.py:15-96).  The reference
-publishes no numbers (BASELINE.md), so ``vs_baseline`` compares against the
-north-star target RTF 0.01 from BASELINE.json: values > 1 beat the target.
+Griffin-Lim vocoder; reference: inference.py:15-96), measured through the
+framework's fused single-dispatch program (tokens -> waveform in one XLA
+executable, tacotron2_tpu/infer/fused.py).  The reference publishes no
+numbers (BASELINE.md), so ``vs_baseline`` compares against the north-star
+target RTF 0.01 from BASELINE.json: values > 1 beat the target.
 
-Secondary metrics (mel-frames/sec at batch 1 and 16, decoder-only RTF,
-preprocessing throughput) print to stderr.
+Secondary metrics (modular-path RTF, batch-16 throughput) print to stderr.
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ def main():
 
     from tacotron2_tpu.config import Config
     from tacotron2_tpu.dsp.griffinlim import griffin_lim, mel_to_linear
+    from tacotron2_tpu.infer.fused import synthesize_wav_fused
     from tacotron2_tpu.models import tacotron2_infer_jit, tacotron2_init
 
     cfg = Config()
@@ -60,40 +62,57 @@ def main():
     # a deterministic, worst-case-length workload.
     max_steps = 1000  # ~11.6 s of audio at 22.05 kHz / hop 256
 
-    def run(batch):
+    def run_fused(batch):
         # new tokens every call — the runtime dedupes identical executions
+        tokens = jnp.asarray(rng.integers(1, 72, (batch, 64)), jnp.int32)
+        lengths = jnp.full((batch,), 64, jnp.int32)
+        wav, n, _ = synthesize_wav_fused(
+            params, state, cfg.model, acfg, tokens, lengths, None,
+            max_steps=max_steps)
+        float(wav[0, -1])  # force full sync
+        return int(n), wav.shape
+
+    def run_modular(batch):
         tokens = jnp.asarray(rng.integers(1, 72, (batch, 64)), jnp.int32)
         mel, n = synth(tokens, max_steps)
         wav = vocode(mel)
-        wav.block_until_ready()
+        float(wav[0, -1])
         return int(n), wav.shape
 
     # warmup / compile
     t0 = time.time()
-    n_frames, wav_shape = run(1)
+    n_frames, wav_shape = run_fused(1)
     log(f"compile+first run: {time.time() - t0:.1f}s "
         f"(frames={n_frames}, wav={wav_shape})")
 
-    # ---- batch 1 timed ----
+    # ---- batch 1 timed (fused single-dispatch program) ----
     iters = 5
-    t0 = time.time()
+    walls = []
     for _ in range(iters):
-        n_frames, _ = run(1)
-    wall = (time.time() - t0) / iters
+        t0 = time.time()
+        n_frames, _ = run_fused(1)
+        walls.append(time.time() - t0)
+    wall = float(np.median(walls))
     audio_sec = n_frames * acfg.hop_length / acfg.sampling_rate
     rtf1 = wall / audio_sec
     fps1 = n_frames / wall
-    log(f"batch1: wall {wall:.3f}s for {audio_sec:.2f}s audio -> "
+    log(f"batch1 fused: wall {wall:.3f}s for {audio_sec:.2f}s audio -> "
         f"RTF {rtf1:.5f}, {fps1:.0f} frames/s")
 
-    # ---- batch 16 timed ----
-    run(16)  # warmup/compile for the batch-16 shapes
+    # ---- modular path (separate decode + vocode dispatches) ----
+    run_modular(1)  # warmup
     t0 = time.time()
-    n_frames16, _ = run(16)
+    run_modular(1)
+    log(f"batch1 modular: wall {time.time() - t0:.3f}s")
+
+    # ---- batch 16 timed ----
+    run_fused(16)  # warmup/compile for the batch-16 shapes
+    t0 = time.time()
+    n_frames16, _ = run_fused(16)
     wall16 = time.time() - t0
     fps16 = 16 * n_frames16 / wall16
     rtf16 = wall16 / (16 * n_frames16 * acfg.hop_length / acfg.sampling_rate)
-    log(f"batch16: wall {wall16:.3f}s -> per-stream RTF {rtf16:.5f}, "
+    log(f"batch16 fused: wall {wall16:.3f}s -> per-stream RTF {rtf16:.5f}, "
         f"aggregate {fps16:.0f} frames/s")
 
     print(json.dumps({
