@@ -96,6 +96,13 @@ class ModelConfig:
     batchnorm_momentum: float = 0.1
     batchnorm_eps: float = 1e-5
 
+    # Rematerialize the decoder step in the teacher-forced scan's backward
+    # pass (jax.checkpoint): trades ~2x decoder-step recompute for not
+    # storing per-step attention/LSTM activations — at (B=16, T_dec~800,
+    # T_enc=128) the qsum residuals alone are ~4 GB fp32.  Off by default
+    # (fits comfortably in 16 GB HBM at reference scale).
+    remat_decoder_step: bool = False
+
 
 @dataclasses.dataclass(frozen=True)
 class GuidedAttentionConfig:

@@ -161,6 +161,11 @@ def decoder_teacher_forced(params: Dict[str, Any], cfg: ModelConfig,
         return decode_step(params, cfg, pre_t, carry, memory,
                            processed_memory, mask, key_t, train)
 
+    if cfg.remat_decoder_step and train:
+        # Recompute each step's activations in the backward pass instead of
+        # storing them (see ModelConfig.remat_decoder_step).
+        step = jax.checkpoint(step)
+
     xs = (jnp.swapaxes(prenet_out, 0, 1), step_keys)   # (T, B, 256), (T, 2)
     _, (mels, gates, aligns) = jax.lax.scan(step, carry0, xs)
     return (jnp.swapaxes(mels, 0, 1), jnp.swapaxes(gates, 0, 1),

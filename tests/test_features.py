@@ -148,6 +148,18 @@ class TestMultiSpeakerTraining:
         assert table.shape[0] == 3
 
 
+class TestProfilerTrace:
+    def test_trace_writes_xplane(self, tmp_path):
+        import jax.numpy as jnp_
+
+        from tacotron2_tpu.utils.profiling import trace
+        d = str(tmp_path / "prof")
+        with trace(d):
+            (jnp_.ones((64, 64)) @ jnp_.ones((64, 64))).block_until_ready()
+        import glob as g
+        assert g.glob(d + "/**/*.xplane.pb", recursive=True)
+
+
 class TestStepTimer:
     def test_stats(self):
         t = StepTimer(window=10)
