@@ -142,14 +142,16 @@ WavData decode_wav(const char* path) {
 extern "C" {
 
 // Decode one WAV into caller-provided buffer (max_samples capacity).
-// Returns sample count written (mono), 0 on failure; *sample_rate set.
+// Returns the mono sample count written, 0 on failure, or -needed when the
+// buffer is too small (nothing written) so callers can retry exactly sized
+// — truncation is never silent.
 int64_t t2x_decode_wav(const char* path, float* out, int64_t max_samples,
                        int32_t* sample_rate) {
   WavData w = decode_wav(path);
   if (!w.ok) return 0;
   *sample_rate = w.sample_rate;
   int64_t n = static_cast<int64_t>(w.samples.size());
-  if (n > max_samples) n = max_samples;
+  if (n > max_samples) return -n;
   std::memcpy(out, w.samples.data(), static_cast<size_t>(n) * sizeof(float));
   return n;
 }

@@ -18,6 +18,9 @@ if __name__ == "__main__":
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--griffinlim_iters", type=int, default=60)
+    parser.add_argument("--n_speakers", type=int, default=1,
+                        help="Speaker-table size of the checkpoint "
+                             "(must match training).")
     parser.add_argument("--bf16", action="store_true",
                         help="Serve with bfloat16 weights (halves weight "
                              "memory; fp32 is faster for batch-1 decode "
@@ -25,5 +28,14 @@ if __name__ == "__main__":
     args = parser.parse_args()
 
     enable_persistent_cache()
-    serve(args.checkpoint, host=args.host, port=args.port,
+    cfg = None
+    if args.n_speakers > 1:
+        import dataclasses
+
+        from tacotron2_tpu.config import Config
+        base = Config()
+        cfg = dataclasses.replace(
+            base, model=dataclasses.replace(base.model,
+                                            n_speakers=args.n_speakers))
+    serve(args.checkpoint, host=args.host, port=args.port, cfg=cfg,
           griffinlim_iters=args.griffinlim_iters, bf16=args.bf16)

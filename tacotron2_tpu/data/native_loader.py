@@ -68,22 +68,30 @@ def native_available() -> bool:
 def decode_wav(path: str) -> Tuple[np.ndarray, int]:
     """Decode one WAV with the native decoder. Raises if unavailable.
 
-    The scratch buffer is sized from the file: mono sample count can never
-    exceed the byte size (>=1 byte/sample in every supported encoding), so
-    silent truncation is impossible."""
+    The scratch buffer starts at half the file's byte size (exact for the
+    common PCM16-mono case, 2-8x oversized for multi-channel/32-bit); if
+    the decoder reports it too small (8-bit mono files), it retries once
+    with the exact size — truncation cannot occur (the C side returns
+    ``-needed`` instead of clamping)."""
     lib = get_library()
     if lib is None:
         raise RuntimeError("native loader not available")
-    max_samples = max(os.path.getsize(path), 64) if os.path.isfile(path) \
-        else 64
-    out = np.empty(max_samples, np.float32)
+    size = os.path.getsize(path) if os.path.isfile(path) else 0
+    max_samples = max(size // 2, 64)
     rate = ctypes.c_int32(0)
-    n = lib.t2x_decode_wav(
-        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        max_samples, ctypes.byref(rate))
-    if n == 0:
-        raise IOError(f"native WAV decode failed: {path}")
-    return out[:n].copy(), int(rate.value)
+    for _ in range(2):
+        out = np.empty(max_samples, np.float32)
+        n = lib.t2x_decode_wav(
+            path.encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            max_samples, ctypes.byref(rate))
+        if n > 0:
+            return out[:n].copy(), int(rate.value)
+        if n < 0:
+            max_samples = -n
+            continue
+        break
+    raise IOError(f"native WAV decode failed: {path}")
 
 
 def decode_batch_padded(paths: Sequence[str], pad: int, total_len: int,

@@ -22,7 +22,7 @@ import numpy as np
 
 from ..config import AudioConfig, Config, ModelConfig
 from ..dsp.griffinlim import griffin_lim, mel_to_linear
-from ..models.tacotron2 import tacotron2_infer
+from ..models.tacotron2 import make_speaker_ids, tacotron2_infer
 from ..text import pad_sequences, text_to_sequence
 
 
@@ -69,8 +69,7 @@ def synthesize_wav(params, model_state, texts, cfg: Optional[Config] = None,
     cfg = cfg or Config()
     seqs = [text_to_sequence(t) or [0] for t in texts]
     tokens, lengths = pad_sequences(seqs, pad_multiple=16)
-    speaker_ids = (None if speaker_id is None else
-                   jnp.full((len(texts),), speaker_id, jnp.int32))
+    speaker_ids = make_speaker_ids(speaker_id, len(texts), cfg.model)
     wav, _, ends = synthesize_wav_fused(
         params, model_state, cfg.model, cfg.audio, jnp.asarray(tokens),
         jnp.asarray(lengths), speaker_ids,

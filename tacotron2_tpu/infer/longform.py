@@ -20,6 +20,7 @@ import numpy as np
 
 from ..config import Config
 from ..models import tacotron2_infer_jit
+from ..models.tacotron2 import make_speaker_ids
 from .vocode import vocode_mel
 from ..text import pad_sequences, text_to_sequence
 
@@ -84,8 +85,7 @@ def synthesize_longform(params, model_state, text: str,
     for bucket, idxs in sorted(groups.items()):
         chunk_seqs = [seqs[i] for i in idxs]
         tokens, lengths = pad_sequences(chunk_seqs, pad_to=bucket)
-        speaker_ids = (None if speaker_id is None else
-                       jnp.full((len(idxs),), speaker_id, jnp.int32))
+        speaker_ids = make_speaker_ids(speaker_id, len(idxs), cfg.model)
         out, n_frames, frame_ends = tacotron2_infer_jit(
             params, model_state, cfg.model, jnp.asarray(tokens),
             max_steps=max_steps, gate_threshold=gate_threshold,

@@ -120,14 +120,18 @@ def make_handler(service: TTSService):
                     self._json(400, {"error": f"unknown vocoder {vocoder!r}"})
                     return
                 speaker_id = payload.get("speaker_id")
-                if speaker_id is not None and not isinstance(speaker_id,
-                                                             int):
+                if speaker_id is not None and (isinstance(speaker_id, bool)
+                                               or not isinstance(speaker_id,
+                                                                 int)):
                     self._json(400, {"error": "speaker_id must be an int"})
                     return
                 wav = service.synthesize(text, vocoder,
                                          speaker_id=speaker_id)
             except json.JSONDecodeError:
                 self._json(400, {"error": "invalid JSON body"})
+                return
+            except ValueError as e:  # e.g. speaker_id out of range
+                self._json(400, {"error": str(e)})
                 return
             except FileNotFoundError as e:  # hifigan checkpoint missing
                 self._json(503, {"error": str(e)})

@@ -26,7 +26,8 @@ from ..models.attention import precompute_memory
 from ..models.decoder import DecoderCarry, decode_step, init_carry, \
     prenet_apply
 from ..models.encoder import encoder_apply
-from ..models.tacotron2 import _condition_memory, make_pad_mask
+from ..models.tacotron2 import (_condition_memory, make_pad_mask,
+                                 make_speaker_ids)
 from ..text import pad_sequences, text_to_sequence
 
 
@@ -69,7 +70,8 @@ def stream_mels(params, model_state, text: str,
                 cfg: Optional[Config] = None, chunk_frames: int = 64,
                 max_steps: Optional[int] = None,
                 gate_threshold: Optional[float] = None,
-                drop_first_frame: bool = True
+                drop_first_frame: bool = True,
+                speaker_id: Optional[int] = None
                 ) -> Generator[np.ndarray, None, None]:
     """Generator of coarse-mel chunks ((<=chunk_frames, n_mels) each) for
     one utterance, ending at the gate firing or the step cap.
@@ -87,7 +89,7 @@ def stream_mels(params, model_state, text: str,
     tokens, lengths = pad_sequences([seq], pad_multiple=16)
     memory, processed, mask = _encode(
         params, model_state, mcfg, jnp.asarray(tokens),
-        jnp.asarray(lengths), None)
+        jnp.asarray(lengths), make_speaker_ids(speaker_id, 1, mcfg))
 
     carry = init_carry(1, tokens.shape[1], mcfg)
     mel_in = jnp.zeros((1, mcfg.n_mels), jnp.float32)
@@ -118,7 +120,9 @@ def stream_mels(params, model_state, text: str,
                                         produced + k + 1) > 1))[0]
         if len(fired):
             end = int(fired[0]) + 1
-            yield mels_np[:end]
+            if end:
+                yield mels_np[:end]
             return
         produced += k
-        yield mels_np
+        if k:
+            yield mels_np

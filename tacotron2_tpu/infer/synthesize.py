@@ -17,6 +17,7 @@ import numpy as np
 from ..config import Config
 from ..dsp.wav import save_wav
 from ..models import tacotron2_infer_jit
+from ..models.tacotron2 import make_speaker_ids
 from ..text import pad_sequences, text_to_sequence
 from ..train.checkpoint import load_any_checkpoint
 from ..train.state import create_train_state
@@ -46,16 +47,17 @@ def load_model(checkpoint_path: str, cfg: Optional[Config] = None):
     import os
     cfg = cfg or Config()
     if not os.path.exists(checkpoint_path):
-        raise SystemExit(f"error: checkpoint not found: {checkpoint_path}")
+        raise FileNotFoundError(
+            f"checkpoint not found: {checkpoint_path}")
     template = create_train_state(cfg)
     try:
         params, model_state, _, _, _ = load_any_checkpoint(
             checkpoint_path, template)
     except Exception as e:
-        raise SystemExit(
-            f"error: could not load checkpoint {checkpoint_path!r}: "
-            f"{type(e).__name__}: {e}\n(multi-speaker checkpoints need "
-            f"--n_speakers to match)")
+        raise RuntimeError(
+            f"could not load checkpoint {checkpoint_path!r}: "
+            f"{type(e).__name__}: {e} (multi-speaker checkpoints need a "
+            f"matching n_speakers config / --n_speakers)") from e
     return params, model_state
 
 
@@ -75,8 +77,7 @@ def synthesize_mels(params, model_state, texts: Sequence[str],
     cfg = cfg or Config()
     seqs = [text_to_sequence(t) for t in texts]
     tokens, lengths = pad_sequences(seqs, pad_multiple=16)
-    speaker_ids = (None if speaker_id is None else
-                   jnp.full((len(texts),), speaker_id, jnp.int32))
+    speaker_ids = make_speaker_ids(speaker_id, len(texts), cfg.model)
     out, n_frames, frame_ends = tacotron2_infer_jit(
         params, model_state, cfg.model, jnp.asarray(tokens),
         max_steps=max_steps, gate_threshold=gate_threshold,

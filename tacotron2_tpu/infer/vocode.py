@@ -14,8 +14,10 @@ from typing import Callable, Optional
 
 import numpy as np
 
+import jax.numpy as jnp
+
 from ..config import AudioConfig
-from ..dsp.griffinlim import mel_to_audio
+from ..dsp.griffinlim import griffin_lim, mel_to_linear
 
 _FRAME_BUCKET = 128
 
@@ -37,8 +39,15 @@ def vocode_mel(mel: np.ndarray, cfg: AudioConfig,
     if vocoder is not None:
         audio = np.asarray(vocoder(mel.T[None])[0])
     else:
-        audio = np.asarray(mel_to_audio(mel.T, n_iter=griffinlim_iters,
-                                        cfg=cfg))
+        # exp: these are log-power mels; explicit length covers ALL t_pad
+        # frames (griffin_lim's default hop*(T-1) would drop the last one)
+        linear = mel_to_linear(
+            jnp.exp(jnp.asarray(mel.T)), sr=cfg.sampling_rate,
+            n_fft=cfg.n_fft, n_mels=cfg.n_mels, fmin=cfg.fmin, fmax=cfg.fmax)
+        audio = np.asarray(griffin_lim(
+            linear, n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+            win_length=cfg.win_length, n_iter=griffinlim_iters,
+            length=t_pad * cfg.hop_length))
     return audio[: t_true * cfg.hop_length]
 
 

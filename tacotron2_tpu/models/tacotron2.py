@@ -85,6 +85,32 @@ def init_projection_bias(params: Dict[str, Any],
     return new
 
 
+def make_speaker_ids(speaker_id: Optional[int], batch: int,
+                     cfg: ModelConfig) -> Optional[jnp.ndarray]:
+    """Validated (B,) speaker-id array for inference helpers.
+
+    Multi-speaker models are ALWAYS conditioned in training
+    (train/step.py passes the batch's speaker_ids), so decoding one
+    unconditioned would be out-of-distribution: when the model is
+    multi-speaker and no id is given, default to speaker 0 with a notice.
+    Out-of-range ids raise (jnp.take would silently clamp under jit).
+    """
+    if cfg.n_speakers <= 1:
+        if speaker_id not in (None, 0):
+            raise ValueError(
+                f"speaker_id={speaker_id} given but the model is "
+                f"single-speaker (n_speakers={cfg.n_speakers})")
+        return None
+    if speaker_id is None:
+        print("[speaker] multi-speaker model, no speaker_id given: "
+              "using speaker 0")
+        speaker_id = 0
+    if not (0 <= int(speaker_id) < cfg.n_speakers):
+        raise ValueError(f"speaker_id={speaker_id} out of range "
+                         f"[0, {cfg.n_speakers})")
+    return jnp.full((batch,), int(speaker_id), jnp.int32)
+
+
 def _condition_memory(params: Dict[str, Any], memory: jnp.ndarray,
                       speaker_ids: Optional[jnp.ndarray]) -> jnp.ndarray:
     if "speaker" in params and speaker_ids is not None:

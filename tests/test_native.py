@@ -73,19 +73,20 @@ class TestBatchDecode:
             p = str(tmp_path / f"fuzz{i}.wav")
             n = int(rng.integers(0, 2000))
             blob = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
-            if i % 3 == 0:  # valid magic, garbage body
-                blob = b"RIFF" + blob[:40] + b"WAVE" + blob[40:]
+            if i % 3 == 0:  # valid RIFF/WAVE magic, garbage chunk body
+                blob = b"RIFF" + blob[:4] + b"WAVE" + blob[4:]
             if i % 5 == 0:  # fmt/data headers with lying sizes
                 blob = (b"RIFF\xff\xff\xff\xffWAVEfmt "
                         + b"\x10\x00\x00\x00" + blob[:16]
                         + b"data\xff\xff\xff\xff" + blob[16:])
             open(p, "wb").write(blob)
             paths.append(p)
-        batch, lengths, _ = decode_batch_padded(paths, 512, 1 << 15)
+        batch, lengths, rates = decode_batch_padded(paths, 512, 1 << 15)
         assert batch.shape == (24, 1 << 15)
         assert np.isfinite(batch).all()
-        # nothing valid should decode to a "success" with real audio length
-        assert (lengths >= 0).all()
+        # anything that "decoded" must at least report a sample rate; pure
+        # garbage (no RIFF magic) must be rejected outright
+        assert ((lengths == 0) | (rates > 0)).all()
 
     def test_failed_file_marked_zero_length(self, wav_files, tmp_path):
         paths, sigs, _ = wav_files
