@@ -10,7 +10,11 @@ executable, tacotron2_tpu/infer/fused.py).  The reference publishes no
 numbers (BASELINE.md), so ``vs_baseline`` compares against the north-star
 target RTF 0.01 from BASELINE.json: values > 1 beat the target.
 
-Secondary metrics (modular-path RTF, batch-16 throughput) print to stderr.
+Secondary metrics — modular-path RTF, batch-16 throughput, fused
+Tacotron2+HiFi-GAN RTF (batch 1/16), training-step throughput (bf16
+policy), and device preprocess (mel-extraction) throughput — print to
+stderr AND ride in the headline JSON line under ``"secondary"`` so
+``BENCH_r*.json`` tracks them across rounds.
 """
 
 from __future__ import annotations
@@ -34,8 +38,10 @@ def main():
 
     from tacotron2_tpu.config import Config
     from tacotron2_tpu.dsp.griffinlim import griffin_lim, mel_to_linear
-    from tacotron2_tpu.infer.fused import synthesize_wav_fused
+    from tacotron2_tpu.infer.fused import (synthesize_wav_fused,
+                                           synthesize_wav_fused_hifigan)
     from tacotron2_tpu.models import tacotron2_infer_jit, tacotron2_init
+    from tacotron2_tpu.models.hifigan import hifigan_init
 
     cfg = Config()
     acfg = cfg.audio
@@ -115,11 +121,112 @@ def main():
     log(f"batch16 fused: wall {wall16:.3f}s -> per-stream RTF {rtf16:.5f}, "
         f"aggregate {fps16:.0f} frames/s")
 
+    secondary = {"rtf_batch16_gl_per_stream": round(rtf16, 6),
+                 "frames_per_sec_batch16_gl": round(fps16)}
+
+    # ---- fused Tacotron2 + HiFi-GAN (the reference's primary vocoder
+    # path, inference.py:40-54, as ONE XLA program).  Random generator
+    # weights: identical FLOPs/memory traffic to a trained checkpoint. ----
+    hifigan_params = hifigan_init(jax.random.PRNGKey(1))
+
+    def run_hifigan(batch):
+        tokens = jnp.asarray(rng.integers(1, 72, (batch, 64)), jnp.int32)
+        lengths = jnp.full((batch,), 64, jnp.int32)
+        wav, _, n, _ = synthesize_wav_fused_hifigan(
+            params, state, hifigan_params, cfg.model, acfg, tokens,
+            lengths, None, max_steps=max_steps)
+        float(wav[0, -1])
+        return int(n)
+
+    run_hifigan(1)  # compile
+    walls = [0.0] * 3
+    for i in range(3):
+        t0 = time.time()
+        n_hf = run_hifigan(1)
+        walls[i] = time.time() - t0
+    wall_hf = float(np.median(walls))
+    rtf_hf1 = wall_hf / (n_hf * acfg.hop_length / acfg.sampling_rate)
+    log(f"batch1 fused hifigan: wall {wall_hf:.3f}s -> RTF {rtf_hf1:.5f}")
+    run_hifigan(16)  # compile
+    t0 = time.time()
+    n_hf16 = run_hifigan(16)
+    wall_hf16 = time.time() - t0
+    rtf_hf16 = wall_hf16 / (16 * n_hf16 * acfg.hop_length
+                            / acfg.sampling_rate)
+    log(f"batch16 fused hifigan: wall {wall_hf16:.3f}s -> per-stream RTF "
+        f"{rtf_hf16:.5f}, aggregate {16 * n_hf16 / wall_hf16:.0f} frames/s")
+    secondary["rtf_batch1_hifigan"] = round(rtf_hf1, 6)
+    secondary["rtf_batch16_hifigan_per_stream"] = round(rtf_hf16, 6)
+
+    # ---- training-step throughput (bf16 mixed-precision policy) ----
+    from tacotron2_tpu.train import (create_train_state, make_optimizer,
+                                     train_step)
+    tstate = create_train_state(cfg, seed=0)
+    tx = make_optimizer(cfg.train)
+    b_tr, t_enc_tr, t_dec_tr = 16, 128, 512
+
+    def train_batch():
+        return {
+            "text": jnp.asarray(rng.integers(1, 72, (b_tr, t_enc_tr)),
+                                jnp.int32),
+            "text_lengths": jnp.full((b_tr,), t_enc_tr, jnp.int32),
+            "mel": jnp.asarray(
+                rng.standard_normal((b_tr, cfg.model.n_mels, t_dec_tr))
+                .astype(np.float32) - 5.0),
+            "mel_lengths": jnp.full((b_tr,), t_dec_tr, jnp.int32),
+            "speaker_ids": jnp.zeros((b_tr,), jnp.int32),
+        }
+
+    sigma = cfg.guided_attention.sigma_warmup_steps
+    tstate, _, _ = train_step(tstate, train_batch(), cfg=cfg, tx=tx,
+                              use_postnet=True, sigma_warmup_steps=sigma)
+    jax.block_until_ready(tstate.params)   # compile + first step
+    walls = []
+    for _ in range(5):
+        t0 = time.time()
+        tstate, losses, _ = train_step(tstate, train_batch(), cfg=cfg,
+                                       tx=tx, use_postnet=True,
+                                       sigma_warmup_steps=sigma)
+        jax.block_until_ready(tstate.params)
+        walls.append(time.time() - t0)
+    step_sec = float(np.median(walls))
+    train_fps = b_tr * t_dec_tr / step_sec
+    log(f"train step (B={b_tr}, T_enc={t_enc_tr}, T_dec={t_dec_tr}, "
+        f"{cfg.train.precision}): {step_sec:.3f}s/step = "
+        f"{train_fps:.0f} mel-frames/s (loss {float(losses.total):.3f})")
+    secondary["train_step_sec_b16"] = round(step_sec, 4)
+    secondary["train_frames_per_sec_b16"] = round(train_fps)
+
+    # ---- preprocess (device mel-extraction) throughput ----
+    from tacotron2_tpu.dsp.mel import batched_log_mel_with_lengths
+    b_pp = 16
+    n_samp = 7 * acfg.sampling_rate + acfg.n_fft   # ~7 s clips
+    def run_preprocess():
+        sig = jnp.asarray(
+            rng.standard_normal((b_pp, n_samp)).astype(np.float32) * 0.1)
+        lens = jnp.full((b_pp,), n_samp - acfg.n_fft, jnp.int32)
+        mels, _ = batched_log_mel_with_lengths(
+            sig, lens, sr=acfg.sampling_rate, n_fft=acfg.n_fft,
+            hop_length=acfg.hop_length, win_length=acfg.win_length,
+            n_mels=acfg.n_mels, fmin=acfg.fmin, fmax=acfg.fmax,
+            mel_eps=acfg.mel_eps)
+        jax.block_until_ready(mels)
+    run_preprocess()  # compile
+    t0 = time.time()
+    run_preprocess()
+    pp_wall = time.time() - t0
+    audio_sec_pp = b_pp * 7.0
+    log(f"preprocess: {audio_sec_pp:.0f}s of audio -> mels in "
+        f"{pp_wall:.3f}s ({audio_sec_pp / pp_wall:.0f}x real-time)")
+    secondary["preprocess_audio_sec_per_sec"] = round(
+        audio_sec_pp / pp_wall, 1)
+
     print(json.dumps({
         "metric": "synthesis_rtf_batch1",
         "value": round(rtf1, 6),
         "unit": "rtf (wall_sec / audio_sec; lower is better)",
         "vs_baseline": round(0.01 / rtf1, 4),
+        "secondary": secondary,
     }))
 
 

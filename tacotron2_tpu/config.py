@@ -134,6 +134,15 @@ class TrainConfig:
     max_grad_norm: float = 1.0
     save_every_steps: int = 5000
     accumulation_steps: int = 1
+    # Mixed-precision training policy — the TPU counterpart of the
+    # reference's CUDA AMP autocast+GradScaler (reference:
+    # train.py:389-392,518-523).  "bfloat16" keeps fp32 master weights and
+    # Adam moments and casts parameters to bf16 inside the jitted step, so
+    # every matmul/conv runs the MXU in single-pass bf16 with fp32
+    # accumulation; elementwise math, loss, and BatchNorm statistics stay
+    # fp32.  No loss scaling is needed (bf16 shares fp32's exponent range).
+    # "float32" disables the cast (exact-parity mode used by tests).
+    precision: str = "bfloat16"
     # Debug overfit mode (reference: train.py:396-486)
     debug_batch_size: int = 8
     debug_sigma_warmup_steps: int = 800   # reference: train.py:356

@@ -123,10 +123,18 @@ class BatchLoader:
     def __init__(self, dataset: TextMelDataset, batch_size: int,
                  seed: int = 1234, shuffle: bool = True,
                  text_pad_multiple: int = 32, mel_pad_multiple: int = 64,
-                 sort_pool: bool = True, drop_last: bool = True):
+                 sort_pool: bool = True, drop_last: bool = True,
+                 prefetch: int = 2):
         """``drop_last=True`` keeps every batch exactly B (one jit shape);
         validation loaders pass False so small val sets still evaluate
-        (the trailing partial batch costs one extra compile)."""
+        (the trailing partial batch costs one extra compile).
+
+        ``prefetch`` > 0 assembles up to that many batches ahead on a
+        background thread, overlapping disk reads + host collate with
+        device compute (the training step runs ~0.1 s on device; a slow
+        disk would otherwise stall it).  0 loads synchronously on the
+        consuming thread.
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -134,6 +142,7 @@ class BatchLoader:
         self.mel_pad_multiple = mel_pad_multiple
         self.sort_pool = sort_pool
         self.drop_last = drop_last
+        self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -159,7 +168,7 @@ class BatchLoader:
             idx = np.concatenate(chunks)
         return idx
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _iter_sync(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._epoch_order()
         n_batches = len(self)
         batch_starts = np.arange(n_batches) * self.batch_size
@@ -171,3 +180,49 @@ class BatchLoader:
             if members:
                 yield collate(members, self.text_pad_multiple,
                               self.mel_pad_multiple)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.prefetch <= 0:
+            yield from self._iter_sync()
+            return
+        # One producer thread per epoch, bounded queue: batch N+1 (and
+        # N+2, ...) are read + collated while the device chews on batch N.
+        import queue
+        import threading
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        stop = threading.Event()
+
+        def put_or_abort(item) -> bool:
+            """Bounded put that gives up when the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def producer():
+            try:
+                for batch in self._iter_sync():
+                    if not put_or_abort(batch):
+                        return
+                put_or_abort(sentinel)
+            except BaseException as e:          # propagate to consumer
+                put_or_abort(e)
+
+        thread = threading.Thread(target=producer, daemon=True,
+                                  name="batch-prefetch")
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            thread.join(timeout=5.0)

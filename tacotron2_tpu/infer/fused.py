@@ -61,20 +61,65 @@ def synthesize_wav_fused(params, model_state, mcfg: ModelConfig,
     return wav, n_frames, frame_ends
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "mcfg", "acfg", "max_steps", "gate_threshold", "stop_mode"))
+def synthesize_wav_fused_hifigan(params, model_state, hifigan_params,
+                                 mcfg: ModelConfig, acfg: AudioConfig,
+                                 tokens: jnp.ndarray,
+                                 text_lengths: Optional[jnp.ndarray] = None,
+                                 speaker_ids: Optional[jnp.ndarray] = None, *,
+                                 max_steps: Optional[int] = None,
+                                 gate_threshold: Optional[float] = None,
+                                 stop_mode: str = "any"
+                                 ) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                            jnp.ndarray, jnp.ndarray]:
+    """tokens (B, T_enc) -> (wav (B, S*hop), mel_postnet (B, S, n_mels),
+    n_frames, frame_ends) with the neural vocoder fused into the same XLA
+    program.
+
+    The reference's primary synthesis path is Tacotron 2 -> HiFi-GAN
+    (reference: inference.py:40-54,71-74), as two separate model calls; here
+    encoder + while_loop decode + postnet + the full HiFi-GAN generator
+    compile into ONE dispatch.  Frames past the gate stop are masked to the
+    log-mel floor, so the vocoder renders silence there; trim returned audio
+    at ``frame_ends[b] * hop_length`` (the generator's total upsampling
+    256 == hop_length).
+    """
+    from ..models.hifigan import hifigan_apply
+    out, n_frames, frame_ends = tacotron2_infer(
+        params, model_state, mcfg, tokens, max_steps=max_steps,
+        gate_threshold=gate_threshold, text_lengths=text_lengths,
+        speaker_ids=speaker_ids, stop_mode=stop_mode)
+    mel = out.mel_postnet                                  # (B, S, n_mels)
+    s = mel.shape[1]
+    valid = (jnp.arange(s)[None, :, None]
+             < frame_ends[:, None, None])                  # (B, S, 1)
+    mel = jnp.where(valid, mel, jnp.float32(np.log(acfg.mel_eps)))
+    wav = hifigan_apply(hifigan_params, jnp.swapaxes(mel, 1, 2))
+    return wav, mel, n_frames, frame_ends
+
+
 def synthesize_wav(params, model_state, texts, cfg: Optional[Config] = None,
                    max_steps: Optional[int] = None, gl_iters: int = 60,
-                   speaker_id: Optional[int] = None):
+                   speaker_id: Optional[int] = None, hifigan_params=None):
     """Host convenience: texts -> list of trimmed float32 waveforms via the
-    single-dispatch fused program."""
+    single-dispatch fused program (HiFi-GAN when ``hifigan_params`` is
+    given, Griffin-Lim otherwise)."""
     cfg = cfg or Config()
     seqs = [text_to_sequence(t) or [0] for t in texts]
     tokens, lengths = pad_sequences(seqs, pad_multiple=16)
     speaker_ids = make_speaker_ids(speaker_id, len(texts), cfg.model)
-    wav, _, ends = synthesize_wav_fused(
-        params, model_state, cfg.model, cfg.audio, jnp.asarray(tokens),
-        jnp.asarray(lengths), speaker_ids,
-        max_steps=max_steps, gl_iters=gl_iters,
-        stop_mode="all" if len(texts) > 1 else "any")
+    stop_mode = "all" if len(texts) > 1 else "any"
+    if hifigan_params is not None:
+        wav, _, _, ends = synthesize_wav_fused_hifigan(
+            params, model_state, hifigan_params, cfg.model, cfg.audio,
+            jnp.asarray(tokens), jnp.asarray(lengths), speaker_ids,
+            max_steps=max_steps, stop_mode=stop_mode)
+    else:
+        wav, _, ends = synthesize_wav_fused(
+            params, model_state, cfg.model, cfg.audio, jnp.asarray(tokens),
+            jnp.asarray(lengths), speaker_ids,
+            max_steps=max_steps, gl_iters=gl_iters, stop_mode=stop_mode)
     wav_np = np.asarray(wav)
     ends_np = np.asarray(ends)
     return [wav_np[b, : int(ends_np[b]) * cfg.audio.hop_length]

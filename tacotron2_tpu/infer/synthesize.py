@@ -116,19 +116,39 @@ def synthesize(text: str, checkpoint_path: str, output_dir: str,
     params, model_state = load_model(checkpoint_path, cfg)
     print("Tacotron 2 model loaded.")
 
-    from .vocode import try_load_hifigan, vocode_mel
-    vocode = try_load_hifigan() if vocoder.lower() == "hifigan" else None
-    if vocode is None:
+    from .vocode import try_load_hifigan_params, vocode_mel
+    hifigan_params = (try_load_hifigan_params()
+                      if vocoder.lower() == "hifigan" else None)
+
+    if hifigan_params is not None:
+        # Fused fast path: encoder + decode + postnet + HiFi-GAN as ONE
+        # XLA program (the reference's primary vocoder pipeline,
+        # inference.py:40-54,71-74, minus its two-model host round-trip).
+        from .fused import synthesize_wav_fused_hifigan
+        print("Processing input text + generating waveform (fused "
+              "Tacotron 2 + HiFi-GAN program)...")
+        tokens, lengths = pad_sequences([text_to_sequence(text) or [0]],
+                                        pad_multiple=16)
+        speaker_ids = make_speaker_ids(speaker_id, 1, cfg.model)
+        wav, mel, _, ends = synthesize_wav_fused_hifigan(
+            params, model_state, hifigan_params, cfg.model, cfg.audio,
+            jnp.asarray(tokens), jnp.asarray(lengths), speaker_ids)
+        n0 = int(np.asarray(ends)[0])
+        if n0 < 3:
+            print(f"[WARN] Very short mel length ({n0}) - possible "
+                  f"premature stop. Gate threshold="
+                  f"{cfg.model.gate_threshold}")
+        print_mel_stats(np.asarray(mel)[0, :n0], "Pred PostNet Mel")
+        audio = np.asarray(wav)[0, : n0 * cfg.audio.hop_length]
+    else:
         print("Using Griffin-Lim vocoder.")
-
-    print("Processing input text + generating mel spectrogram...")
-    mels, _ = synthesize_mels(params, model_state, [text], cfg,
-                              speaker_id=speaker_id)
-    mel = mels[0]                                   # (T, n_mels)
-    print_mel_stats(mel, "Pred PostNet Mel")
-
-    audio = vocode_mel(mel, cfg.audio, vocoder=vocode,
-                       griffinlim_iters=griffinlim_iters)
+        print("Processing input text + generating mel spectrogram...")
+        mels, _ = synthesize_mels(params, model_state, [text], cfg,
+                                  speaker_id=speaker_id)
+        mel = mels[0]                               # (T, n_mels)
+        print_mel_stats(mel, "Pred PostNet Mel")
+        audio = vocode_mel(mel, cfg.audio,
+                           griffinlim_iters=griffinlim_iters)
 
     out_path = next_output_path(output_dir)
     save_wav(out_path, np.asarray(audio), cfg.audio.sampling_rate)

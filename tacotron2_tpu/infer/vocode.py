@@ -62,3 +62,15 @@ def try_load_hifigan(checkpoint_path: Optional[str] = None):
         print(f"HiFi-GAN unavailable ({type(e).__name__}: {e}); "
               f"falling back to Griffin-Lim.")
         return None
+
+
+def try_load_hifigan_params(checkpoint_path: Optional[str] = None):
+    """Like :func:`try_load_hifigan` but returns the raw params pytree (for
+    the fused single-dispatch synthesis program) or None on any failure."""
+    try:
+        from ..models.hifigan import load_hifigan_params
+        return load_hifigan_params(checkpoint_path)
+    except Exception as e:
+        print(f"HiFi-GAN unavailable ({type(e).__name__}: {e}); "
+              f"falling back to Griffin-Lim.")
+        return None

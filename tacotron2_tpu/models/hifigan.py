@@ -178,9 +178,9 @@ def _jitted_apply(params, mel):
     return hifigan_apply(params, mel)
 
 
-def load_hifigan_vocoder(checkpoint_path: Optional[str] = None):
-    """Load the NGC generator checkpoint and return a jitted vocoder callable
-    ``mel (B, 80, T) -> wav (B, T*256)``.
+def load_hifigan_params(checkpoint_path: Optional[str] = None
+                        ) -> Dict[str, Any]:
+    """Load the NGC generator checkpoint as a JAX params pytree.
 
     Checkpoint resolution: explicit arg > $HIFIGAN_CHECKPOINT >
     ./hifigan_checkpoint.pt (the reference's cache filename,
@@ -198,7 +198,13 @@ def load_hifigan_vocoder(checkpoint_path: Optional[str] = None):
     sd = ckpt.get("generator", ckpt)
     sd_np = {k: v.detach().cpu().numpy() for k, v in sd.items()}
     params = params_from_nvidia_state_dict(sd_np)
-    params = jax.tree_util.tree_map(jnp.asarray, params)
+    return jax.tree_util.tree_map(jnp.asarray, params)
+
+
+def load_hifigan_vocoder(checkpoint_path: Optional[str] = None):
+    """Load the NGC generator checkpoint and return a jitted vocoder callable
+    ``mel (B, 80, T) -> wav (B, T*256)``."""
+    params = load_hifigan_params(checkpoint_path)
 
     def vocode(mel) -> np.ndarray:
         return np.asarray(_jitted_apply(params, jnp.asarray(mel)))

@@ -86,14 +86,24 @@ def conv1d_apply(p: Params, x: jnp.ndarray, padding: str | int = "same"
         pad = [( (k - 1) // 2, k // 2 )]
     else:
         pad = [(padding, padding)]
-    if x.dtype != p["w"].dtype:  # bf16 serving casts activations down
+    if x.dtype != p["w"].dtype:  # bf16 policies cast activations down
         x = x.astype(p["w"].dtype)
-    y = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(1,), padding=pad,
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)
+    if p["w"].dtype == jnp.float32:
+        y = jax.lax.conv_general_dilated(
+            x, p["w"], window_strides=(1,), padding=pad,
+            dimension_numbers=("NCH", "OIH", "NCH"),
+            preferred_element_type=jnp.float32)
+    else:
+        # Low-precision weights: run the conv natively in that dtype (the
+        # TPU convolution still accumulates fp32 on the MXU internally) and
+        # upcast the result.  Mixing dtypes via preferred_element_type is
+        # not transposable — grad-of-conv would see (bf16 lhs, fp32 rhs),
+        # which lax.conv_general_dilated rejects.
+        y = jax.lax.conv_general_dilated(
+            x, p["w"], window_strides=(1,), padding=pad,
+            dimension_numbers=("NCH", "OIH", "NCH")).astype(jnp.float32)
     if "b" in p:
-        y = y + p["b"][None, :, None]
+        y = y + p["b"][None, :, None].astype(jnp.float32)
     return y
 
 

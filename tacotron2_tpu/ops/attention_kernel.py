@@ -132,8 +132,12 @@ def _attention_tail_fwd(qsum, v_w, v_b, energy_scale, mask, memory):
 def _attention_tail_bwd(res, cotangents):
     qsum, v_w, v_b, energy_scale, mask, memory, attn = res
     d_attn_out, d_ctx = cotangents
-    th = jnp.tanh(qsum)                                     # (B, T, A)
-    pre = jnp.einsum("bta,a->bt", th, v_w) + v_b            # (B, T)
+    # Backward math runs fp32 regardless of the (possibly bf16) primal
+    # dtypes; custom_vjp requires cotangents to match primal dtypes, so the
+    # results are cast back at the end.
+    th = jnp.tanh(qsum.astype(jnp.float32))                 # (B, T, A)
+    pre = jnp.einsum("bta,a->bt", th,
+                     v_w.astype(jnp.float32)) + v_b.astype(jnp.float32)
     # ctx = attn @ memory
     d_attn = d_attn_out + jnp.einsum("bd,btd->bt", d_ctx, memory)
     d_memory = jnp.einsum("bt,bd->btd", attn, d_ctx)
@@ -142,12 +146,14 @@ def _attention_tail_bwd(res, cotangents):
     d_e = jnp.where(mask, 0.0, d_e)                         # -1e9 branch
     # e = pre * scale   (pre includes v_b)
     d_scale = jnp.sum(d_e * pre)
-    d_pre = d_e * energy_scale
+    d_pre = d_e * energy_scale.astype(jnp.float32)
     d_v_b = jnp.sum(d_pre)
-    d_th = d_pre[..., None] * v_w                           # (B, T, A)
+    d_th = d_pre[..., None] * v_w.astype(jnp.float32)       # (B, T, A)
     d_v_w = jnp.einsum("bta,bt->a", th, d_pre)
     d_qsum = d_th * (1.0 - th * th)
-    return (d_qsum, d_v_w, d_v_b, d_scale, None, d_memory)
+    return (d_qsum.astype(qsum.dtype), d_v_w.astype(v_w.dtype),
+            d_v_b.astype(v_b.dtype), d_scale.astype(energy_scale.dtype),
+            None, d_memory.astype(memory.dtype))
 
 
 attention_tail.defvjp(_attention_tail_fwd, _attention_tail_bwd)

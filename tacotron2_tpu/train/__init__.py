@@ -6,7 +6,8 @@ from .loss import (LossOutput, build_gate_target, diagonal_attention_target,
                    tacotron2_loss)
 from .optim import make_optimizer, milestone_schedule
 from .state import TrainState, create_train_state
-from .step import eval_step, train_step, train_step_accum
+from .step import (cast_params_for_compute, compute_dtype_of, eval_step,
+                   train_step, train_step_accum)
 
 __all__ = [
     "train", "validate", "export_debug_inference", "LossOutput",

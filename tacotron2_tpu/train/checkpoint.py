@@ -10,6 +10,7 @@ aware, and restorable onto any mesh.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Dict, Tuple
 
@@ -73,15 +74,63 @@ def restore_params_only(path: str, params_template, state_template):
     return restored["params"], restored["model_state"]
 
 
+def checkpoint_kind(path: str) -> str:
+    """Classify a saved checkpoint by inspecting its Orbax tree metadata.
+
+    Returns "full" (training state with optimizer/counters), "params_only"
+    (weights + BN stats, e.g. the debug export), or "unknown" (metadata
+    unreadable — not an Orbax checkpoint, or a future layout).  This
+    replaces guessing by try/except, so a *corrupted* full checkpoint
+    surfaces its real restore error instead of a confusing params-template
+    mismatch.
+    """
+    meta_path = os.path.join(os.path.abspath(path), "_METADATA")
+    try:
+        with open(meta_path, "r", encoding="utf-8") as f:
+            meta = json.load(f)
+        keys = meta.get("tree_metadata", {}).keys()
+        # tree_metadata keys are stringified key-paths like
+        # "('params', 'encoder', ...)"; the first quoted element is the
+        # top-level field.
+        tops = {k.split("'")[1] for k in keys if "'" in k}
+    except Exception:
+        return "unknown"
+    if "opt_state" in tops or "epoch" in tops:
+        return "full"
+    if "params" in tops:
+        return "params_only"
+    return "unknown"
+
+
 def load_any_checkpoint(path: str, template: TrainState):
     """Load either a full training checkpoint or a params-only checkpoint.
 
     Returns (params, model_state, full_state_or_None, epoch, best_val_mel).
+    ``full_state_or_None`` is None for params-only checkpoints — resuming
+    from one restarts the optimizer state, epoch counter, and best-val
+    tracking (callers should warn; train._resume does).
     """
-    try:
+    kind = checkpoint_kind(path)
+    if kind == "full":
         state, epoch, best = restore_checkpoint(path, template)
         return state.params, state.model_state, state, epoch, best
-    except Exception:
+    if kind == "params_only":
         params, model_state = restore_params_only(
             path, template.params, template.model_state)
         return params, model_state, None, 0, float("inf")
+    # Unknown layout: preserve the historical try-order as a last resort,
+    # chaining both errors so neither failure mode is hidden.
+    try:
+        state, epoch, best = restore_checkpoint(path, template)
+        return state.params, state.model_state, state, epoch, best
+    except Exception as full_err:
+        try:
+            params, model_state = restore_params_only(
+                path, template.params, template.model_state)
+            return params, model_state, None, 0, float("inf")
+        except Exception as params_err:
+            raise RuntimeError(
+                f"could not load checkpoint {path!r} as a full training "
+                f"state ({type(full_err).__name__}: {full_err}) or as "
+                f"params-only ({type(params_err).__name__}: {params_err})"
+            ) from params_err

@@ -137,21 +137,31 @@ def train(metadata_path: str, checkpoint_dir: str, *,
           debug_overfit: bool = False, val_metadata: Optional[str] = None,
           resume: Optional[str] = None,
           postnet_freeze_steps_override: Optional[int] = None,
-          accum_steps: int = 1) -> TrainState:
+          accum_steps: int = 1,
+          precision: Optional[str] = None) -> TrainState:
     """Main training routine (CLI contract of reference train.py:287-298)."""
     import dataclasses
     cfg = cfg or Config()
-    if learning_rate is not None or batch_size is not None or epochs is not None:
+    if precision is not None:
+        precision = {"bf16": "bfloat16", "fp32": "float32"}.get(precision,
+                                                                precision)
+    if (learning_rate is not None or batch_size is not None
+            or epochs is not None or precision is not None):
         tr = dataclasses.replace(
             cfg.train,
             **({"learning_rate": learning_rate} if learning_rate else {}),
             **({"batch_size": batch_size} if batch_size else {}),
-            **({"epochs": epochs} if epochs else {}))
+            **({"epochs": epochs} if epochs else {}),
+            **({"precision": precision} if precision else {}))
         cfg = dataclasses.replace(cfg, train=tr)
 
+    from .step import compute_dtype_of
+    compute_dtype_of(cfg.train.precision)   # validate early, before compiles
     os.makedirs(checkpoint_dir, exist_ok=True)
     logger = TrainingLogger(checkpoint_dir)
     print(f"Devices: {jax.devices()}")
+    logger.log(f"Precision: {cfg.train.precision} "
+               "(fp32 master weights; matmuls in the compute dtype)")
 
     dataset = TextMelDataset(metadata_path)
     tcfg = cfg.train
@@ -297,6 +307,9 @@ def _resume(resume: str, template: TrainState):
         resume, template)
     if full is not None:
         return full, epoch, best
+    print(f"[resume] WARNING: {resume!r} is a params-only checkpoint "
+          "(weights + BN stats). Optimizer state, epoch counter, LR "
+          "schedule position, and best-val tracking restart from scratch.")
     return template._replace(params=params, model_state=model_state), 0, best
 
 

@@ -36,8 +36,39 @@ from .loss import LossOutput, tacotron2_loss
 from .state import TrainState
 
 
+def compute_dtype_of(precision: str):
+    """Map a TrainConfig.precision string to a compute dtype (None = fp32)."""
+    if precision in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    if precision in ("float32", "fp32"):
+        return None
+    raise ValueError(f"unknown precision {precision!r} "
+                     "(expected 'bfloat16' or 'float32')")
+
+
+def cast_params_for_compute(params, compute_dtype):
+    """Differentiable downcast of fp32 weights to the compute dtype.
+
+    Used inside the jitted step: the TrainState keeps fp32 master weights,
+    the forward pass consumes a bf16 view.  Because the cast is part of the
+    differentiated function, gradient cotangents are upcast back to fp32
+    automatically — gradients, clipping, and Adam moments all stay fp32
+    (the AMP master-weight recipe, minus loss scaling which bf16 does not
+    need).  Non-fp32 leaves (int counters, bool flags) pass through.
+    """
+    if compute_dtype is None:
+        return params
+    def cast(x):
+        if x.dtype == jnp.float32:
+            return x.astype(compute_dtype)
+        return x
+    return jax.tree_util.tree_map(cast, params)
+
+
 def _forward_loss(params, model_state, cfg: Config, batch, rng, loss_step,
                   use_postnet: bool, sigma_warmup_steps: int):
+    params = cast_params_for_compute(
+        params, compute_dtype_of(cfg.train.precision))
     out, new_model_state = tacotron2_forward(
         params, model_state, cfg.model, batch["text"], batch["mel"],
         batch["text_lengths"], rng, train=True, use_postnet=use_postnet,

@@ -136,3 +136,41 @@ class TestDatasetAndLoader:
         b = [b["text_lengths"].tolist()
              for b in BatchLoader(ds, batch_size=2, seed=5)]
         assert a == b
+
+    def test_prefetch_matches_sync(self, processed):
+        """The background-prefetch iterator yields byte-identical batches
+        in the same order as the synchronous path."""
+        ds = TextMelDataset(os.path.join(processed, "metadata.csv"))
+        sync = list(BatchLoader(ds, batch_size=2, seed=7, prefetch=0))
+        pre = list(BatchLoader(ds, batch_size=2, seed=7, prefetch=2))
+        assert len(sync) == len(pre) > 0
+        for bs, bp in zip(sync, pre):
+            for k in bs:
+                np.testing.assert_array_equal(bs[k], bp[k])
+
+    def test_prefetch_propagates_errors(self, processed, tmp_path):
+        """A dataset failure on the producer thread surfaces on the
+        consuming thread, not as a silent hang."""
+        ds = TextMelDataset(os.path.join(processed, "metadata.csv"))
+
+        class Exploding:
+            def __len__(self):
+                return len(ds)
+
+            def text_length(self, i):
+                return ds.text_length(i)
+
+            def __getitem__(self, i):
+                raise OSError("disk gone")
+
+        loader = BatchLoader(Exploding(), batch_size=2, seed=0, prefetch=2,
+                             sort_pool=False)
+        with pytest.raises(OSError, match="disk gone"):
+            list(loader)
+
+    def test_prefetch_early_abandon_does_not_hang(self, processed):
+        ds = TextMelDataset(os.path.join(processed, "metadata.csv"))
+        loader = BatchLoader(ds, batch_size=2, seed=0, prefetch=1)
+        it = iter(loader)
+        next(it)
+        it.close()  # consumer walks away mid-epoch; must not deadlock

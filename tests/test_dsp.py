@@ -5,6 +5,8 @@ written here (straightforward loop implementations of the librosa
 conventions documented in tacotron2_tpu/dsp/), plus structural invariants.
 """
 
+import os
+
 import numpy as np
 import pytest
 from scipy.signal import get_window
@@ -140,6 +142,39 @@ class TestLogMel:
             assert tl == solo.shape[1]
             np.testing.assert_allclose(mels[i, :, :tl], solo, rtol=1e-4,
                                        atol=1e-4)
+
+
+class TestGoldenFixture:
+    """Regression anchor on a REAL speech signal: the reference repo's
+    committed WAV (/root/reference/generated_audio/output_4.wav),
+    peak-normalized (the committed file sits ~ -40 dBFS) and frozen as
+    tests/fixtures/output4_logmel_golden.npy.  Any change to the STFT
+    framing, Hann window, Slaney filterbank, clipping, or log convention
+    shifts these 80x101 values and fails here."""
+
+    FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "output4_logmel_golden.npy")
+    WAV = "/root/reference/generated_audio/output_4.wav"
+
+    def test_real_speech_mel_matches_frozen_golden(self):
+        if not os.path.isfile(self.WAV):
+            pytest.skip("reference WAV not present")
+        from tacotron2_tpu.dsp.mel import get_mel_spectrogram_array
+        golden = np.load(self.FIXTURE)
+        y, sr = load_audio(self.WAV, target_sr=22050)
+        assert sr == 22050
+        y = y / np.abs(y).max() * 0.95
+        mel = np.asarray(get_mel_spectrogram_array(y))
+        assert mel.shape == golden.shape == (80, 101)
+        np.testing.assert_allclose(mel, golden, rtol=1e-5, atol=1e-4)
+
+    def test_golden_has_speech_dynamics(self):
+        """The fixture itself must stay meaningful: log-scale values with
+        real dynamic range, not a silence/floor artifact."""
+        golden = np.load(self.FIXTURE)
+        assert golden.min() < -8.0       # quiet bins near the log floor
+        assert golden.max() > 2.0        # voiced energy well above it
+        assert (golden < np.log(1.1e-5)).mean() < 0.05
 
 
 class TestGriffinLim:

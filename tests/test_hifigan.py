@@ -123,3 +123,42 @@ class TestTorchParity:
         ours = np.asarray(hifigan_apply(
             jax.tree_util.tree_map(np.asarray, params), mel))
         np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_weight_normed_checkpoint_file_roundtrip(self, tmp_path):
+        """End-to-end through the FILE loader: a torch.save'd checkpoint in
+        the NGC layout ({'generator': state_dict} with weight_g/weight_v
+        entries) -> load_hifigan_params -> forward parity vs torch.
+
+        This exercises the exact path a real NVIDIA checkpoint takes
+        (models/hifigan.py:load_hifigan_params), not just the in-memory
+        dict converter."""
+        torch = pytest.importorskip("torch")
+        from tacotron2_tpu.models.hifigan import load_hifigan_params
+
+        torch.manual_seed(3)
+        gen = _build_torch_hifigan(torch)
+        for m in gen.modules():
+            if isinstance(m, (torch.nn.Conv1d, torch.nn.ConvTranspose1d)):
+                torch.nn.utils.parametrizations.weight_norm(m)
+        sd = {}
+        for k, v in gen.state_dict().items():
+            k = k.replace("parametrizations.weight.original0", "weight_g")
+            k = k.replace("parametrizations.weight.original1", "weight_v")
+            sd[k] = v.detach().clone()
+        ckpt_path = str(tmp_path / "hifigan_gen_checkpoint_test.pt")
+        torch.save({"generator": sd}, ckpt_path)
+
+        params = load_hifigan_params(ckpt_path)
+
+        mel = np.random.default_rng(3).standard_normal((1, 80, 6)).astype(
+            np.float32)
+        gen.eval()
+        with torch.no_grad():
+            ref = gen(torch.from_numpy(mel)).numpy()
+        ours = np.asarray(hifigan_apply(params, mel))
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_missing_checkpoint_file_raises(self):
+        from tacotron2_tpu.models.hifigan import load_hifigan_params
+        with pytest.raises(FileNotFoundError, match="HiFi-GAN checkpoint"):
+            load_hifigan_params("/nonexistent/ckpt.pt")

@@ -12,8 +12,10 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from tacotron2_tpu.config import Config, GuidedAttentionConfig, ModelConfig
-from tacotron2_tpu.train import (build_gate_target,
+from tacotron2_tpu.config import (Config, GuidedAttentionConfig, ModelConfig,
+                                  TrainConfig)
+from tacotron2_tpu.train import (build_gate_target, cast_params_for_compute,
+                                 compute_dtype_of,
                                  create_train_state, eval_step,
                                  make_optimizer, milestone_schedule,
                                  restore_checkpoint, save_checkpoint,
@@ -195,6 +197,83 @@ class TestTrainStep:
         assert float(l1.total) == float(l2.total)
 
 
+class TestPrecisionPolicy:
+    """bf16 mixed-precision training (TrainConfig.precision; the TPU
+    counterpart of the reference's AMP, train.py:389-392,518-523)."""
+
+    FP32 = dataclasses_replace = None
+
+    def _cfg(self, precision):
+        import dataclasses
+        return Config(model=SMALL_MODEL,
+                      train=dataclasses.replace(TrainConfig(),
+                                                precision=precision))
+
+    def test_compute_dtype_mapping(self):
+        assert compute_dtype_of("bfloat16") == jnp.bfloat16
+        assert compute_dtype_of("bf16") == jnp.bfloat16
+        assert compute_dtype_of("float32") is None
+        with pytest.raises(ValueError):
+            compute_dtype_of("fp16")
+
+    def test_cast_preserves_non_fp32_leaves(self):
+        tree = {"w": jnp.ones((2, 2), jnp.float32),
+                "n": jnp.int32(3), "f": jnp.ones((2,), jnp.bfloat16)}
+        out = cast_params_for_compute(tree, jnp.bfloat16)
+        assert out["w"].dtype == jnp.bfloat16
+        assert out["n"].dtype == jnp.int32
+        assert cast_params_for_compute(tree, None) is tree
+
+    def test_bf16_matches_fp32_loss_at_init(self):
+        batch = _train_batch(self._cfg("float32"))
+        l_fp, l_bf = {}, {}
+        for name, cfg in (("fp", self._cfg("float32")),
+                          ("bf", self._cfg("bfloat16"))):
+            state = create_train_state(cfg, seed=0)
+            tx = make_optimizer(cfg.train)
+            _, losses, _ = train_step(state, batch, cfg=cfg, tx=tx,
+                                      use_postnet=True,
+                                      sigma_warmup_steps=800)
+            (l_fp if name == "fp" else l_bf)["total"] = float(losses.total)
+            (l_fp if name == "fp" else l_bf)["mel"] = float(losses.mel)
+        np.testing.assert_allclose(l_bf["mel"], l_fp["mel"], rtol=2e-2)
+        np.testing.assert_allclose(l_bf["total"], l_fp["total"], rtol=2e-2)
+
+    def test_bf16_master_weights_and_moments_stay_fp32(self):
+        cfg = self._cfg("bfloat16")
+        state = create_train_state(cfg, seed=0)
+        tx = make_optimizer(cfg.train)
+        batch = _train_batch(cfg)
+        before = jax.tree_util.tree_map(np.asarray, state.params)
+        state, _, _ = train_step(state, batch, cfg=cfg, tx=tx,
+                                 use_postnet=True, sigma_warmup_steps=800)
+        moved = False
+        for a, b in zip(jax.tree_util.tree_leaves(before),
+                        jax.tree_util.tree_leaves(state.params)):
+            assert b.dtype == a.dtype     # fp32 master weights preserved
+            moved = moved or not np.array_equal(np.asarray(a), np.asarray(b))
+        assert moved                      # the bf16 grads actually applied
+        for leaf in jax.tree_util.tree_leaves(state.opt_state):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                         jnp.floating):
+                assert leaf.dtype == jnp.float32
+
+    def test_bf16_loss_decreases(self):
+        cfg = self._cfg("bfloat16")
+        state = create_train_state(cfg, seed=0)
+        tx = make_optimizer(cfg.train)
+        batch = _train_batch(cfg)
+        first = last = None
+        for _ in range(12):
+            state, losses, _ = train_step(state, batch, cfg=cfg, tx=tx,
+                                          use_postnet=True,
+                                          sigma_warmup_steps=800)
+            if first is None:
+                first = float(losses.total)
+            last = float(losses.total)
+        assert np.isfinite(last) and last < first
+
+
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         state = create_train_state(SMALL, seed=0)
@@ -213,3 +292,34 @@ class TestCheckpoint:
         for a, b in zip(jax.tree_util.tree_leaves(state.params),
                         jax.tree_util.tree_leaves(restored.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_checkpoint_kind_detection(self, tmp_path):
+        from tacotron2_tpu.train.checkpoint import (checkpoint_kind,
+                                                    load_any_checkpoint,
+                                                    save_params_only)
+        state = create_train_state(SMALL, seed=0)
+        full = str(tmp_path / "full")
+        save_checkpoint(full, state, epoch=1, best_val_mel=2.0)
+        ponly = str(tmp_path / "ponly")
+        save_params_only(ponly, state.params, state.model_state)
+
+        assert checkpoint_kind(full) == "full"
+        assert checkpoint_kind(ponly) == "params_only"
+        assert checkpoint_kind(str(tmp_path / "nope")) == "unknown"
+
+        # params-only loads signal "no training state" via full=None
+        template = create_train_state(SMALL, seed=1)
+        _, _, fullstate, epoch, best = load_any_checkpoint(ponly, template)
+        assert fullstate is None and epoch == 0 and best == float("inf")
+        _, _, fullstate, epoch, best = load_any_checkpoint(full, template)
+        assert fullstate is not None and epoch == 1
+
+    def test_unloadable_checkpoint_raises_descriptive_error(self, tmp_path):
+        from tacotron2_tpu.train.checkpoint import load_any_checkpoint
+        bad = tmp_path / "bad"
+        bad.mkdir()
+        (bad / "junk.txt").write_text("not a checkpoint")
+        template = create_train_state(SMALL, seed=0)
+        with pytest.raises(Exception) as exc_info:
+            load_any_checkpoint(str(bad), template)
+        assert "bad" in str(exc_info.value) or exc_info.type is not None

@@ -29,6 +29,12 @@ if __name__ == "__main__":
     parser.add_argument("--resume", type=str, default=None)
     parser.add_argument("--postnet_freeze_steps", type=int, default=None)
     parser.add_argument("--accum_steps", type=int, default=1)
+    parser.add_argument("--precision", type=str, default=None,
+                        choices=["bf16", "bfloat16", "fp32", "float32"],
+                        help="Training compute precision (default: the "
+                             "config's bfloat16 mixed-precision policy — "
+                             "fp32 master weights, bf16 matmuls; the TPU "
+                             "counterpart of the reference's CUDA AMP).")
     args = parser.parse_args()
 
     enable_persistent_cache()
@@ -37,4 +43,4 @@ if __name__ == "__main__":
           learning_rate=args.lr, debug_overfit=args.debug,
           val_metadata=args.val_metadata, resume=args.resume,
           postnet_freeze_steps_override=args.postnet_freeze_steps,
-          accum_steps=args.accum_steps)
+          accum_steps=args.accum_steps, precision=args.precision)
