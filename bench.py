@@ -178,16 +178,18 @@ def main():
         }
 
     sigma = cfg.guided_attention.sigma_warmup_steps
-    tstate, _, _ = train_step(tstate, train_batch(), cfg=cfg, tx=tx,
-                              use_postnet=True, sigma_warmup_steps=sigma)
-    jax.block_until_ready(tstate.params)   # compile + first step
+    tstate, losses0, _ = train_step(tstate, train_batch(), cfg=cfg, tx=tx,
+                                    use_postnet=True,
+                                    sigma_warmup_steps=sigma)
+    float(losses0.total)   # compile + first step (host transfer = real sync
+    #                        — block_until_ready does not drain the tunnel)
     walls = []
     for _ in range(5):
         t0 = time.time()
         tstate, losses, _ = train_step(tstate, train_batch(), cfg=cfg,
                                        tx=tx, use_postnet=True,
                                        sigma_warmup_steps=sigma)
-        jax.block_until_ready(tstate.params)
+        float(losses.total)
         walls.append(time.time() - t0)
     step_sec = float(np.median(walls))
     train_fps = b_tr * t_dec_tr / step_sec
@@ -210,7 +212,7 @@ def main():
             hop_length=acfg.hop_length, win_length=acfg.win_length,
             n_mels=acfg.n_mels, fmin=acfg.fmin, fmax=acfg.fmax,
             mel_eps=acfg.mel_eps)
-        jax.block_until_ready(mels)
+        float(mels[-1, -1, -1])   # host transfer = real sync on axon
     run_preprocess()  # compile
     t0 = time.time()
     run_preprocess()

@@ -96,6 +96,12 @@ class ModelConfig:
     batchnorm_momentum: float = 0.1
     batchnorm_eps: float = 1e-5
 
+    # Unroll factor for the teacher-forced decoder scan.  Unrolling lets
+    # XLA software-pipeline several decode steps per loop iteration
+    # (fewer loop-carried barriers for the 512-step scan); must divide or
+    # pad-divide T_dec.  1 = no unrolling.
+    decoder_scan_unroll: int = 1
+
     # Rematerialize the decoder step in the teacher-forced scan's backward
     # pass (jax.checkpoint): trades ~2x decoder-step recompute for not
     # storing per-step attention/LSTM activations — at (B=16, T_dec~800,

@@ -75,6 +75,20 @@ class TextMelDataset:
                 self.data_dir, "text", f"{base}.npy")).shape[0])
         return self._text_lengths[index]
 
+    def mel_length(self, index: int) -> int:
+        """Mel frame count of an example, from the .npy header only
+        (mmap — no data read).  Used by multi-process loaders to agree on
+        global padded shapes without loading other hosts' mels."""
+        if not hasattr(self, "_mel_lengths"):
+            self._mel_lengths: Dict[int, int] = {}
+        if index not in self._mel_lengths:
+            row = self.rows[index]
+            base = basename_of(row["filepath"])
+            m = np.load(os.path.join(self.data_dir, "mels", f"{base}.npy"),
+                        mmap_mode="r")
+            self._mel_lengths[index] = int(m.shape[1])
+        return self._mel_lengths[index]
+
 
 def _round_up(x: int, multiple: int) -> int:
     return -(-x // multiple) * multiple
@@ -124,7 +138,8 @@ class BatchLoader:
                  seed: int = 1234, shuffle: bool = True,
                  text_pad_multiple: int = 32, mel_pad_multiple: int = 64,
                  sort_pool: bool = True, drop_last: bool = True,
-                 prefetch: int = 2):
+                 prefetch: int = 2, process_index: int = 0,
+                 process_count: int = 1):
         """``drop_last=True`` keeps every batch exactly B (one jit shape);
         validation loaders pass False so small val sets still evaluate
         (the trailing partial batch costs one extra compile).
@@ -134,6 +149,16 @@ class BatchLoader:
         device compute (the training step runs ~0.1 s on device; a slow
         disk would otherwise stall it).  0 loads synchronously on the
         consuming thread.
+
+        Multi-host data parallelism: with ``process_count`` > 1 every
+        process derives the SAME global epoch order and global batch
+        partition from the shared seed, then loads only its own
+        ``batch_size`` rows of each global batch (global batch =
+        batch_size x process_count).  Padded dims are computed from the
+        length metadata of the WHOLE global batch (headers only, no data
+        reads for other hosts' rows), so all processes collate to
+        identical static shapes and compile the identical program —
+        required for GSPMD.  Multi-process forces drop_last.
         """
         self.dataset = dataset
         self.batch_size = batch_size
@@ -141,25 +166,36 @@ class BatchLoader:
         self.text_pad_multiple = text_pad_multiple
         self.mel_pad_multiple = mel_pad_multiple
         self.sort_pool = sort_pool
+        if process_count > 1:
+            drop_last = True      # SPMD needs every process to see a batch
+        if not (0 <= process_index < process_count):
+            raise ValueError(f"process_index {process_index} not in "
+                             f"[0, {process_count})")
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
         self._rng = np.random.default_rng(seed)
+
+    @property
+    def global_batch_size(self) -> int:
+        return self.batch_size * self.process_count
 
     def __len__(self) -> int:
         if self.drop_last:
-            return len(self.dataset) // self.batch_size
-        return -(-len(self.dataset) // self.batch_size)
+            return len(self.dataset) // self.global_batch_size
+        return -(-len(self.dataset) // self.global_batch_size)
 
     def _epoch_order(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(idx)
-        if self.sort_pool and len(idx) > self.batch_size:
+        if self.sort_pool and len(idx) > self.global_batch_size:
             # Length-aware pooling: sort shuffled indices by text length in
             # pools of 32 batches, then shuffle the batch order.  Keeps
             # batches length-homogeneous (less padding waste, fewer shapes)
             # while preserving stochasticity.
-            pool = self.batch_size * 32
+            pool = self.global_batch_size * 32
             chunks = []
             for s in range(0, len(idx), pool):
                 chunk = idx[s:s + pool]
@@ -171,15 +207,33 @@ class BatchLoader:
     def _iter_sync(self) -> Iterator[Dict[str, np.ndarray]]:
         idx = self._epoch_order()
         n_batches = len(self)
-        batch_starts = np.arange(n_batches) * self.batch_size
+        gb = self.global_batch_size
+        batch_starts = np.arange(n_batches) * gb
         if self.shuffle:
             self._rng.shuffle(batch_starts)
         for s in batch_starts:
-            members = [self.dataset[int(i)]
-                       for i in idx[s:s + self.batch_size]]
-            if members:
-                yield collate(members, self.text_pad_multiple,
-                              self.mel_pad_multiple)
+            rows = idx[s:s + gb]
+            if self.process_count > 1:
+                # Globally agreed padded dims from length metadata of the
+                # full global batch; then load only this process's slice.
+                t_text = _round_up(
+                    max(self.dataset.text_length(int(i)) for i in rows),
+                    self.text_pad_multiple)
+                t_mel = _round_up(
+                    max(self.dataset.mel_length(int(i)) for i in rows),
+                    self.mel_pad_multiple)
+                lo = self.process_index * self.batch_size
+                members = [self.dataset[int(i)]
+                           for i in rows[lo:lo + self.batch_size]]
+                if members:
+                    yield collate(members, self.text_pad_multiple,
+                                  self.mel_pad_multiple,
+                                  fixed_text_len=t_text, fixed_mel_len=t_mel)
+            else:
+                members = [self.dataset[int(i)] for i in rows]
+                if members:
+                    yield collate(members, self.text_pad_multiple,
+                                  self.mel_pad_multiple)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.prefetch <= 0:

@@ -56,27 +56,37 @@ class TTSService:
             self.params = cast_params_bf16(self.params)
         self.griffinlim_iters = griffinlim_iters
         self._lock = threading.Lock()
-        self._hifigan = None
+        self._hifigan_params = None
         self._requests = 0
 
-    def _vocoder(self):
-        if self._hifigan is None:
-            from ..models.hifigan import load_hifigan_vocoder
-            self._hifigan = load_hifigan_vocoder()
-        return self._hifigan
+    def _hifigan(self):
+        if self._hifigan_params is None:
+            from ..models.hifigan import load_hifigan_params
+            self._hifigan_params = load_hifigan_params()
+        return self._hifigan_params
 
     def synthesize(self, text: str, vocoder: str = "griffinlim",
                    speaker_id=None) -> bytes:
         with self._lock:
             self._requests += 1
-            mels, _ = synthesize_mels(self.params, self.model_state, [text],
-                                      self.cfg, speaker_id=speaker_id)
-            # vocode_mel pads to 128-frame buckets so steady-state traffic
-            # reuses compiled vocoder programs.
-            audio = vocode_mel(
-                mels[0], self.cfg.audio,
-                vocoder=self._vocoder() if vocoder == "hifigan" else None,
-                griffinlim_iters=self.griffinlim_iters)
+            if vocoder == "hifigan":
+                # Fused fast path: tokens -> waveform in ONE device
+                # dispatch (encoder + decode + postnet + HiFi-GAN in a
+                # single XLA program; token lengths bucketed, so traffic
+                # reuses a handful of compiled programs).
+                from .fused import synthesize_wav
+                audio = synthesize_wav(
+                    self.params, self.model_state, [text], self.cfg,
+                    speaker_id=speaker_id,
+                    hifigan_params=self._hifigan())[0]
+            else:
+                mels, _ = synthesize_mels(self.params, self.model_state,
+                                          [text], self.cfg,
+                                          speaker_id=speaker_id)
+                # vocode_mel pads to 128-frame buckets so steady-state
+                # traffic reuses compiled vocoder programs.
+                audio = vocode_mel(mels[0], self.cfg.audio,
+                                   griffinlim_iters=self.griffinlim_iters)
         return _wav_bytes(audio, self.cfg.audio.sampling_rate)
 
     @property

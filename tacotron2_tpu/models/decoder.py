@@ -167,7 +167,8 @@ def decoder_teacher_forced(params: Dict[str, Any], cfg: ModelConfig,
         step = jax.checkpoint(step)
 
     xs = (jnp.swapaxes(prenet_out, 0, 1), step_keys)   # (T, B, 256), (T, 2)
-    _, (mels, gates, aligns) = jax.lax.scan(step, carry0, xs)
+    _, (mels, gates, aligns) = jax.lax.scan(
+        step, carry0, xs, unroll=max(1, cfg.decoder_scan_unroll))
     return (jnp.swapaxes(mels, 0, 1), jnp.swapaxes(gates, 0, 1),
             jnp.swapaxes(aligns, 0, 1))
 

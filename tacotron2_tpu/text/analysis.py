@@ -1,0 +1,114 @@
+"""G2P coverage / divergence analysis.
+
+The reference's `g2p_en` hides its OOV behavior inside a neural LTS model
+(reference: src/text.py:35); this framework's G2P is a transparent
+cascade (lexicon -> apostrophe restore -> morphology -> rule LTS), so its
+coverage can be AUDITED: this module measures, for any transcript set,
+what fraction of running tokens each stage resolves and which words fall
+through to the rule LTS (the only stage whose output can diverge
+meaningfully from g2p_en).
+
+CLI:  python -m tacotron2_tpu.text.analysis metadata.csv [--column text]
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, Iterable, List, Tuple
+
+from .g2p import G2p
+from .normalize import normalize_text
+
+
+def g2p_coverage(texts: Iterable[str], g2p: G2p | None = None,
+                 top_n: int = 50) -> Dict:
+    """Token-level resolution statistics over normalized transcripts.
+
+    Returns a dict with running-token counts per resolution stage
+    (``lexicon`` / ``apostrophe`` / ``morphology`` / ``lts``), the OOV rate
+    (fraction of running tokens needing ANY fallback past the lexicon),
+    the hard-OOV rate (fraction hitting the rule LTS), and the ``top_n``
+    most frequent LTS words with their produced pronunciations.
+    """
+    g2p = g2p or G2p()
+    token_counts: Counter = Counter()
+    for text in texts:
+        token_counts.update(normalize_text(text).split())
+
+    stage_tokens = Counter()
+    stage_types = Counter()
+    lts_words: Counter = Counter()
+    resolution_cache: Dict[str, str] = {}
+    for word, count in token_counts.items():
+        stage = resolution_cache.setdefault(word, g2p.resolution(word))
+        stage_tokens[stage] += count
+        stage_types[stage] += 1
+        if stage == "lts":
+            lts_words[word] += count
+
+    total = sum(token_counts.values())
+    fallback = total - stage_tokens["lexicon"]
+    report = {
+        "total_tokens": total,
+        "unique_words": len(token_counts),
+        "tokens_by_stage": dict(stage_tokens),
+        "types_by_stage": dict(stage_types),
+        "oov_rate": (fallback / total) if total else 0.0,
+        "hard_oov_rate": (stage_tokens["lts"] / total) if total else 0.0,
+        "top_lts_words": [
+            {"word": w, "count": c, "phones": list(g2p.pronounce(w))}
+            for w, c in lts_words.most_common(top_n)],
+    }
+    return report
+
+
+def format_report(report: Dict) -> str:
+    lines = [
+        f"tokens: {report['total_tokens']}  "
+        f"unique words: {report['unique_words']}",
+        f"resolution (running tokens): "
+        + "  ".join(f"{k}={v}" for k, v in
+                    sorted(report["tokens_by_stage"].items())),
+        f"OOV rate (any fallback): {report['oov_rate']:.4%}",
+        f"hard-OOV rate (rule LTS): {report['hard_oov_rate']:.4%}",
+    ]
+    if report["top_lts_words"]:
+        lines.append("top LTS words:")
+        for e in report["top_lts_words"]:
+            lines.append(f"  {e['word']!r} x{e['count']}: "
+                         f"{' '.join(e['phones'])}")
+    return "\n".join(lines)
+
+
+def _main() -> None:
+    import argparse
+    import csv
+    import json
+    import sys
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("metadata", help="CSV with a text column (or a plain "
+                                    ".txt file, one utterance per line)")
+    p.add_argument("--column", default="text")
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args()
+
+    texts: List[str] = []
+    if args.metadata.endswith(".txt"):
+        with open(args.metadata, "r", encoding="utf-8") as f:
+            texts = [line.strip() for line in f if line.strip()]
+    else:
+        with open(args.metadata, "r", encoding="utf-8") as f:
+            for row in csv.DictReader(f):
+                texts.append(row[args.column])
+
+    report = g2p_coverage(texts)
+    if args.json:
+        json.dump(report, sys.stdout, indent=2)
+        print()
+    else:
+        print(format_report(report))
+
+
+if __name__ == "__main__":
+    _main()

@@ -108,23 +108,142 @@ def letter_to_sound(word: str) -> List[str]:
     return phones
 
 
+# Voicing-dependent suffix realizations (standard English morphophonology,
+# matching the CMUdict pronunciations of inflected forms).
+_VOICELESS = {"P", "T", "K", "F", "TH"}
+_SIBILANT = {"S", "Z", "SH", "ZH", "CH", "JH"}
+
+
+def _plural_suffix(stem_phones: Sequence[str]) -> Tuple[str, ...]:
+    """-s / -es / -'s: /IH0 Z/ after sibilants, /S/ after voiceless, /Z/."""
+    last = stem_phones[-1] if stem_phones else ""
+    if last in _SIBILANT:
+        return ("IH0", "Z")
+    if last in _VOICELESS:
+        return ("S",)
+    return ("Z",)
+
+
+def _past_suffix(stem_phones: Sequence[str]) -> Tuple[str, ...]:
+    """-ed: /IH0 D/ after T or D, /T/ after voiceless, /D/ otherwise."""
+    last = stem_phones[-1] if stem_phones else ""
+    if last in ("T", "D"):
+        return ("IH0", "D")
+    if last in (_VOICELESS | _SIBILANT) - {"Z", "ZH", "JH"} - {"D"}:
+        # voiceless obstruents (incl. S, SH, CH) devoice the suffix
+        return ("T",)
+    return ("D",)
+
+
 class G2p:
     """Word-sequence to phoneme-sequence converter.
 
     Callable on a normalized text string (lowercase words separated by
     single spaces); returns a flat symbol list with ``' '`` separators,
     mirroring ``g2p_en.G2p.__call__`` output format.
+
+    OOV resolution order (each stage only fires if the previous missed):
+      1. direct lexicon lookup;
+      2. apostrophe restoration — the normalizer strips apostrophes
+         ("don't" -> "dont", reference: src/text.py:24-26), but CMUdict
+         keys keep them, so contractions re-insert ' before n't/'s/'re/
+         've/'ll/'d and retry;
+      3. regular morphology — plural/possessive -s/-es, past -ed,
+         progressive -ing, adverbial -ly built from a lexicon stem with
+         the voicing-correct suffix phonemes (covers the biggest OOV
+         class: inflected forms CMUdict lists only as stems);
+      4. rule LTS as the last resort.
+
+    Known divergence from the reference's g2p_en: heteronyms ("read",
+    "lives", "bass") always get CMUdict's first variant — g2p_en picks by
+    POS tag.  See tests/test_text.py::TestG2pDivergences.
     """
 
     def __init__(self, lexicon: Optional[Dict[str, Tuple[str, ...]]] = None,
                  lexicon_path: Optional[str] = None):
         self._lexicon = lexicon if lexicon is not None else load_lexicon(lexicon_path)
 
+    def _lookup(self, word: str) -> Optional[Tuple[str, ...]]:
+        return self._lexicon.get(word)
+
+    def _apostrophe_restore(self, word: str) -> Optional[Tuple[str, ...]]:
+        cands = []
+        if word.endswith("nt") and len(word) > 3:
+            cands.append(word[:-2] + "n't")
+        for suf in ("s", "re", "ve", "ll", "d", "m"):
+            if word.endswith(suf) and len(word) > len(suf):
+                cands.append(word[: -len(suf)] + "'" + suf)
+        if word.startswith("o") and len(word) > 3:
+            cands.append("o'" + word[1:])     # oclock -> o'clock
+        for c in cands:
+            hit = self._lookup(c)
+            if hit is not None:
+                return hit
+        return None
+
+    def _compound(self, word: str) -> Optional[Tuple[str, ...]]:
+        """Split an OOV into two lexicon words (longest first part wins):
+        "woodcutters" -> wood + cutters.  Both halves must be ≥3 letters
+        so short function words don't produce junk splits."""
+        for i in range(len(word) - 3, 2, -1):
+            a, b = self._lookup(word[:i]), self._lookup(word[i:])
+            if a is not None and b is not None:
+                return tuple(a) + tuple(b)
+        return None
+
+    def _stem_candidates(self, word: str, suffix_len: int) -> List[str]:
+        stem = word[:-suffix_len]
+        cands = [stem, stem + "e"]            # walk(ed), lov(ed)->love
+        if len(stem) > 2 and stem[-1] == stem[-2]:
+            cands.append(stem[:-1])           # stopp(ed)->stop
+        if stem.endswith("i"):
+            cands.append(stem[:-1] + "y")     # carri(ed)->carry
+        return cands
+
+    def _morphology(self, word: str) -> Optional[Tuple[str, ...]]:
+        # plural / possessive / 3rd-person -s, -es
+        if word.endswith("s") and not word.endswith("ss") and len(word) > 3:
+            for n in (1, 2) if word.endswith("es") else (1,):
+                for stem in ([word[:-n]] if n == 1
+                             else self._stem_candidates(word, n)):
+                    ph = self._lookup(stem)
+                    if ph is not None:
+                        return tuple(ph) + _plural_suffix(ph)
+        if word.endswith("ed") and len(word) > 4:
+            for stem in self._stem_candidates(word, 2):
+                ph = self._lookup(stem)
+                if ph is not None:
+                    return tuple(ph) + _past_suffix(ph)
+        if word.endswith("ing") and len(word) > 5:
+            for stem in self._stem_candidates(word, 3):
+                ph = self._lookup(stem)
+                if ph is not None:
+                    return tuple(ph) + ("IH0", "NG")
+        if word.endswith("ly") and len(word) > 4:
+            ph = self._lookup(word[:-2])
+            if ph is not None:
+                return tuple(ph) + ("L", "IY0")
+        return None
+
     def pronounce(self, word: str) -> Sequence[str]:
-        entry = self._lexicon.get(word.lower())
-        if entry is not None:
-            return entry
+        word = word.lower()
+        for resolver in (self._lookup, self._apostrophe_restore,
+                         self._morphology, self._compound):
+            entry = resolver(word)
+            if entry is not None:
+                return entry
         return letter_to_sound(word)
+
+    def resolution(self, word: str) -> str:
+        """Which stage resolves ``word`` — for coverage reporting."""
+        word = word.lower()
+        for name, resolver in (("lexicon", self._lookup),
+                               ("apostrophe", self._apostrophe_restore),
+                               ("morphology", self._morphology),
+                               ("compound", self._compound)):
+            if resolver(word) is not None:
+                return name
+        return "lts"
 
     def __call__(self, text: str) -> List[str]:
         out: List[str] = []

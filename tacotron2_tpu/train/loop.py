@@ -53,15 +53,29 @@ def _fmt_losses(l: LossOutput) -> str:
             f"σ {float(l.sigma):.2f}")
 
 
+def _host_local(x) -> np.ndarray:
+    """Array -> host numpy; for multi-process global arrays (not fully
+    addressable) returns the concatenation of this host's shards."""
+    try:
+        return np.asarray(x)
+    except Exception:
+        return np.concatenate(
+            [np.asarray(s.data) for s in x.addressable_shards], axis=0)
+
+
 def validate(state: TrainState, loader: BatchLoader, cfg: Config,
-             sigma_warmup_steps: int) -> Dict[str, float]:
+             sigma_warmup_steps: int, place=None) -> Dict[str, float]:
     """Mean validation mel/gate loss + attention entropy
-    (reference: train.py:252-277)."""
+    (reference: train.py:252-277).  ``place`` optionally maps host batches
+    onto a device mesh (data-parallel validation)."""
     total_mel = total_gate = total_ent = 0.0
     count = 0
     for batch in loader:
+        if place is not None:
+            batch = place(batch)
         losses, aligns = eval_step(state, batch, cfg=cfg,
                                    sigma_warmup_steps=sigma_warmup_steps)
+        aligns = _host_local(aligns)
         total_mel += float(losses.mel)
         total_gate += float(losses.gate)
         total_ent += attention_entropy(aligns)
@@ -202,6 +216,46 @@ def train(metadata_path: str, checkpoint_dir: str, *,
 
     # ================= NORMAL TRAINING =================
     accum_steps = max(1, accum_steps)
+
+    # ---- device mesh / multi-host wiring ----
+    # The reference trains on exactly one device (train.py:302-308).  Here,
+    # when more than one device is visible AND the global batch divides
+    # over them, training runs data-parallel via GSPMD: batches are
+    # sharded over a 1-D `data` mesh axis, gradients psum over ICI.  In a
+    # multi-process deployment (one process per TPU host) each process
+    # loads only its slice of every global batch and the shards are
+    # assembled into global arrays.
+    from ..parallel.distributed import (global_batch_from_local,
+                                        initialize_distributed)
+    initialize_distributed()
+    n_proc = jax.process_count()
+    n_dev = jax.device_count()
+    mesh = None
+    global_micro_batch = tcfg.batch_size * n_proc
+    if n_dev > 1 and global_micro_batch % n_dev == 0:
+        from ..parallel import make_mesh, shard_train_state
+        mesh = make_mesh(n_data=n_dev, n_model=1)
+        state = shard_train_state(mesh, state)
+        logger.log(f"Data parallel: {n_dev} devices, {n_proc} processes, "
+                   f"global micro-batch {global_micro_batch}")
+    elif n_proc > 1:
+        raise RuntimeError(
+            f"multi-process run with global batch {global_micro_batch} not "
+            f"divisible by {n_dev} devices — adjust --batch_size")
+
+    def place_batch(batch, micro: bool):
+        """Host batch -> (possibly globally sharded) device arrays.
+        ``micro`` marks the gradient-accumulation layout
+        (accum, B, ...) whose batch axis is axis 1."""
+        if mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P(None, "data") if micro else P("data")
+        if n_proc > 1:
+            return global_batch_from_local(mesh, batch, spec=spec)
+        sharding = NamedSharding(mesh, spec)
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
     # With accumulation the loader draws accum_steps micro-batches worth of
     # examples at once (same padded shape), scanned on device
     # (reference semantics: accumulate across consecutive batches,
@@ -209,7 +263,9 @@ def train(metadata_path: str, checkpoint_dir: str, *,
     loader = BatchLoader(dataset, tcfg.batch_size * accum_steps,
                          seed=tcfg.seed,
                          text_pad_multiple=tcfg.text_pad_multiple,
-                         mel_pad_multiple=tcfg.mel_pad_multiple)
+                         mel_pad_multiple=tcfg.mel_pad_multiple,
+                         process_index=jax.process_index(),
+                         process_count=n_proc)
     val_loader = None
     if val_metadata:
         val_loader = BatchLoader(TextMelDataset(val_metadata),
@@ -217,7 +273,9 @@ def train(metadata_path: str, checkpoint_dir: str, *,
                                  seed=tcfg.seed,
                                  text_pad_multiple=tcfg.text_pad_multiple,
                                  mel_pad_multiple=tcfg.mel_pad_multiple,
-                                 drop_last=False)
+                                 drop_last=(n_proc > 1),
+                                 process_index=jax.process_index(),
+                                 process_count=n_proc)
         logger.log(f"Loaded {len(val_loader.dataset)} validation samples.")
 
     timer = StepTimer()
@@ -244,13 +302,15 @@ def train(metadata_path: str, checkpoint_dir: str, *,
                                        v.shape[0] // accum_steps)
                                       + v.shape[1:])
                          for k, v in batch.items()}
+                micro = place_batch(micro, micro=True)
                 state, losses, alignments = train_step_accum(
                     state, micro, cfg=cfg, tx=tx, use_postnet=use_postnet,
                     sigma_warmup_steps=sigma_warmup,
                     accum_steps=accum_steps)
             else:
                 state, losses, alignments = train_step(
-                    state, batch, cfg=cfg, tx=tx, use_postnet=use_postnet,
+                    state, place_batch(batch, micro=False), cfg=cfg, tx=tx,
+                    use_postnet=use_postnet,
                     sigma_warmup_steps=sigma_warmup)
             loss_totals.append(losses.total)
             n_batches += 1
@@ -276,7 +336,9 @@ def train(metadata_path: str, checkpoint_dir: str, *,
                    f"Time: {time.time() - t0:.2f}s")
 
         if val_loader is not None:
-            metrics = validate(state, val_loader, cfg, sigma_warmup)
+            metrics = validate(state, val_loader, cfg, sigma_warmup,
+                               place=(lambda b: place_batch(b, micro=False))
+                               if mesh is not None else None)
             # The reference criterion advances its step counter on every
             # forward, including validation (train.py:216,271) — keep the
             # guided-attention sigma schedule in lockstep.
@@ -296,7 +358,7 @@ def train(metadata_path: str, checkpoint_dir: str, *,
             state, epoch, best_val_mel)
         if alignments is not None:
             save_alignment_plot(
-                alignments,
+                _host_local(alignments),
                 os.path.join(checkpoint_dir, f"alignment_epoch_{epoch + 1}.png"))
     print("\nTraining complete.")
     return state

