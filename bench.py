@@ -185,8 +185,9 @@ def main():
     #                        — block_until_ready does not drain the tunnel)
     walls = []
     for _ in range(5):
+        tb = train_batch()          # host gen + transfer outside the clock
         t0 = time.time()
-        tstate, losses, _ = train_step(tstate, train_batch(), cfg=cfg,
+        tstate, losses, _ = train_step(tstate, tb, cfg=cfg,
                                        tx=tx, use_postnet=True,
                                        sigma_warmup_steps=sigma)
         float(losses.total)

@@ -105,6 +105,12 @@ def attention_step(params: Dict[str, Any], query: jnp.ndarray,
         loc = conv1d_apply(params["location_conv"], loc_in, padding="same")
         loc = linear_apply(params["location_dense"], jnp.swapaxes(loc, 1, 2))
         qsum = processed_query + processed_memory + loc
+        # Under the bf16 training policy, store the attention tail's input
+        # (its autodiff residual) in bf16: qsum is the LARGEST per-step
+        # residual of the whole decoder scan — (T_dec, B, T_enc, attn_dim)
+        # once stacked, 8 GB fp32 at (512, 256, 128, 128) — and the kernel
+        # upcasts to fp32 internally before tanh/softmax anyway.
+        qsum = qsum.astype(params["v"]["w"].dtype)
         if mask is None:
             mask = jnp.zeros(qsum.shape[:2], bool)
         attn, context = attention_tail(
