@@ -204,19 +204,23 @@ def main():
     from tacotron2_tpu.dsp.mel import batched_log_mel_with_lengths
     b_pp = 16
     n_samp = 7 * acfg.sampling_rate + acfg.n_fft   # ~7 s clips
-    def run_preprocess():
-        sig = jnp.asarray(
-            rng.standard_normal((b_pp, n_samp)).astype(np.float32) * 0.1)
-        lens = jnp.full((b_pp,), n_samp - acfg.n_fft, jnp.int32)
+    lens_pp = jnp.full((b_pp,), n_samp - acfg.n_fft, jnp.int32)
+    # Two distinct pre-staged signal buffers (outside the clock; distinct
+    # so the runtime's identical-execution dedupe can't fire).
+    sigs_pp = [jnp.asarray(rng.standard_normal((b_pp, n_samp))
+                           .astype(np.float32) * 0.1) for _ in range(2)]
+    float(sigs_pp[1][-1, -1])     # ensure transfers complete
+
+    def run_preprocess(sig):
         mels, _ = batched_log_mel_with_lengths(
-            sig, lens, sr=acfg.sampling_rate, n_fft=acfg.n_fft,
+            sig, lens_pp, sr=acfg.sampling_rate, n_fft=acfg.n_fft,
             hop_length=acfg.hop_length, win_length=acfg.win_length,
             n_mels=acfg.n_mels, fmin=acfg.fmin, fmax=acfg.fmax,
             mel_eps=acfg.mel_eps)
         float(mels[-1, -1, -1])   # host transfer = real sync on axon
-    run_preprocess()  # compile
+    run_preprocess(sigs_pp[0])  # compile
     t0 = time.time()
-    run_preprocess()
+    run_preprocess(sigs_pp[1])
     pp_wall = time.time() - t0
     audio_sec_pp = b_pp * 7.0
     log(f"preprocess: {audio_sec_pp:.0f}s of audio -> mels in "

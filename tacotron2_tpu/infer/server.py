@@ -61,32 +61,30 @@ class TTSService:
 
     def _hifigan(self):
         if self._hifigan_params is None:
-            from ..models.hifigan import load_hifigan_params
-            self._hifigan_params = load_hifigan_params()
+            from ..models.hifigan import load_hifigan_vocoder
+            self._hifigan_params = load_hifigan_vocoder()
         return self._hifigan_params
 
     def synthesize(self, text: str, vocoder: str = "griffinlim",
                    speaker_id=None) -> bytes:
         with self._lock:
             self._requests += 1
-            if vocoder == "hifigan":
-                # Fused fast path: tokens -> waveform in ONE device
-                # dispatch (encoder + decode + postnet + HiFi-GAN in a
-                # single XLA program; token lengths bucketed, so traffic
-                # reuses a handful of compiled programs).
-                from .fused import synthesize_wav
-                audio = synthesize_wav(
-                    self.params, self.model_state, [text], self.cfg,
-                    speaker_id=speaker_id,
-                    hifigan_params=self._hifigan())[0]
-            else:
-                mels, _ = synthesize_mels(self.params, self.model_state,
-                                          [text], self.cfg,
-                                          speaker_id=speaker_id)
-                # vocode_mel pads to 128-frame buckets so steady-state
-                # traffic reuses compiled vocoder programs.
-                audio = vocode_mel(mels[0], self.cfg.audio,
-                                   griffinlim_iters=self.griffinlim_iters)
+            # Serving deliberately uses decode-then-bucketed-vocode (two
+            # dispatches) rather than the fused tokens->waveform program
+            # (infer/fused.py): the fused program's vocoder runs over the
+            # full static max_decoder_steps buffer, which for a short
+            # request spends 4-7x the generator/GL compute on masked
+            # silence.  Bucketing the trimmed mel to 128-frame multiples
+            # keeps per-request device time proportional to actual length
+            # while still reusing a handful of compiled programs —
+            # throughput wins over dispatch count on a serialized server.
+            mels, _ = synthesize_mels(self.params, self.model_state,
+                                      [text], self.cfg,
+                                      speaker_id=speaker_id)
+            audio = vocode_mel(
+                mels[0], self.cfg.audio,
+                vocoder=self._hifigan() if vocoder == "hifigan" else None,
+                griffinlim_iters=self.griffinlim_iters)
         return _wav_bytes(audio, self.cfg.audio.sampling_rate)
 
     @property

@@ -44,10 +44,15 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     distributed mode is active.
 
     With no arguments and no coordination env vars this is a no-op (the
-    common single-host case).  On Cloud TPU pods ``jax.distributed
-    .initialize()`` discovers everything from the metadata server; other
-    deployments pass the coordinator explicitly or set
-    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
+    common single-host case — calling jax.distributed.initialize()
+    unconditionally would hang or fail there).  Multi-host runs opt in:
+    on Cloud TPU pods set TACOTRON2_DISTRIBUTED=1 and the no-arg
+    ``jax.distributed.initialize()`` discovers everything from the
+    metadata server; other deployments pass the coordinator explicitly or
+    set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
+
+    MUST run before anything initializes the XLA backend (jax.devices(),
+    any computation) — train() calls it first thing.
     """
     if coordinator_address is None and not distributed_env_configured():
         return jax.process_count() > 1

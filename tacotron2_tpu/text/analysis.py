@@ -38,9 +38,8 @@ def g2p_coverage(texts: Iterable[str], g2p: G2p | None = None,
     stage_tokens = Counter()
     stage_types = Counter()
     lts_words: Counter = Counter()
-    resolution_cache: Dict[str, str] = {}
-    for word, count in token_counts.items():
-        stage = resolution_cache.setdefault(word, g2p.resolution(word))
+    for word, count in token_counts.items():   # unique words once each
+        stage = g2p.resolution(word)
         stage_tokens[stage] += count
         stage_types[stage] += 1
         if stage == "lts":

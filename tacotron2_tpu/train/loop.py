@@ -171,8 +171,21 @@ def train(metadata_path: str, checkpoint_dir: str, *,
 
     from .step import compute_dtype_of
     compute_dtype_of(cfg.train.precision)   # validate early, before compiles
+
+    # Multi-process runtime init MUST precede the first backend use —
+    # jax.distributed.initialize() refuses to run once jax.devices() (or
+    # any computation) has initialized XLA.  No-op unless coordination env
+    # vars opt in (parallel/distributed.py).
+    from ..parallel.distributed import (global_batch_from_local,
+                                        initialize_distributed)
+    initialize_distributed()
+    is_lead = jax.process_index() == 0
+
     os.makedirs(checkpoint_dir, exist_ok=True)
-    logger = TrainingLogger(checkpoint_dir)
+    # In a multi-process run only process 0 writes the shared log file and
+    # plots (they live in the shared checkpoint_dir; concurrent writers
+    # would interleave/corrupt them).  Checkpoint saves stay collective.
+    logger = TrainingLogger(checkpoint_dir, enabled=is_lead)
     print(f"Devices: {jax.devices()}")
     logger.log(f"Precision: {cfg.train.precision} "
                "(fp32 master weights; matmuls in the compute dtype)")
@@ -225,9 +238,6 @@ def train(metadata_path: str, checkpoint_dir: str, *,
     # multi-process deployment (one process per TPU host) each process
     # loads only its slice of every global batch and the shards are
     # assembled into global arrays.
-    from ..parallel.distributed import (global_batch_from_local,
-                                        initialize_distributed)
-    initialize_distributed()
     n_proc = jax.process_count()
     n_dev = jax.device_count()
     mesh = None
@@ -356,7 +366,7 @@ def train(metadata_path: str, checkpoint_dir: str, *,
         save_checkpoint(
             os.path.join(checkpoint_dir, f"tacotron2_epoch_{epoch + 1}"),
             state, epoch, best_val_mel)
-        if alignments is not None:
+        if alignments is not None and is_lead:
             save_alignment_plot(
                 _host_local(alignments),
                 os.path.join(checkpoint_dir, f"alignment_epoch_{epoch + 1}.png"))

@@ -176,6 +176,26 @@ class TestMultiHostPlumbing:
         from tacotron2_tpu.parallel import initialize_distributed
         assert initialize_distributed() is False  # no coordinator env here
 
+    def test_train_initializes_distributed_before_backend_use(self):
+        """jax.distributed.initialize() refuses to run after the XLA
+        backend is up, so train() must call initialize_distributed before
+        its first jax.devices()/computation.  Guard the ordering."""
+        import inspect
+        from tacotron2_tpu.train import loop
+        src = inspect.getsource(loop.train)
+        first_backend_use = min(src.index('print(f"Devices:'),
+                                src.index("create_train_state"))
+        assert src.index("initialize_distributed()") < first_backend_use
+
+    def test_disabled_logger_writes_no_file(self, tmp_path):
+        from tacotron2_tpu.utils.logging import TrainingLogger
+        lg = TrainingLogger(str(tmp_path), enabled=False, echo=False)
+        lg.log("should not be persisted")
+        assert not (tmp_path / "training_log.txt").exists()
+        lg2 = TrainingLogger(str(tmp_path), enabled=True, echo=False)
+        lg2.log("persisted")
+        assert (tmp_path / "training_log.txt").exists()
+
     def test_train_loop_data_parallel_epoch(self, eight_devices, tmp_path):
         """The REAL train() entry point picks up the 8-device mesh (batch
         8 % 8 == 0), shards state + batches, and completes an epoch."""
