@@ -172,3 +172,72 @@ class TestStepTimer:
         assert s["steps_per_sec"] > 0
         assert s["mel_frames_per_sec"] > 0
         assert t.total_steps == 4
+
+
+class TestSynthCorpusTool:
+    def test_multispeaker_metadata_feeds_data_layer(self, tmp_path):
+        """tools/make_synth_corpus.py --n_speakers writes a
+        filepath,text,speaker_id CSV whose speakers map to contiguous
+        embedding ids, and whose audio differs across speakers (scaled
+        formants) — the corpus a multi-speaker evidence run trains on."""
+        import csv as _csv
+        import os
+        import subprocess
+        import sys
+
+        out = str(tmp_path / "ms")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "tools",
+                                          "make_synth_corpus.py"),
+             out, "--n", "6", "--seed", "3", "--n_speakers", "2"],
+            check=True, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        with open(os.path.join(out, "metadata.csv")) as f:
+            rows = list(_csv.DictReader(f))
+        assert len(rows) == 6
+        assert {r["speaker_id"] for r in rows} == {"0", "1"}
+        from scipy.io import wavfile
+        sr0, y0 = wavfile.read(rows[0]["filepath"])
+        sr1, y1 = wavfile.read(rows[1]["filepath"])
+        assert sr0 == sr1 == 22050
+        # different formant scale -> different spectra: compare spectral
+        # centroids of the two speakers' first utterances
+        def centroid(y):
+            s = np.abs(np.fft.rfft(y[: 22050]))
+            fr = np.fft.rfftfreq(len(y[: 22050]), 1 / 22050)
+            return float((s * fr).sum() / s.sum())
+        assert abs(centroid(y1) - centroid(y0)) > 50.0
+
+    def test_single_speaker_pipe_format(self, tmp_path):
+        import os
+        import subprocess
+        import sys
+        out = str(tmp_path / "ss")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "tools",
+                                          "make_synth_corpus.py"),
+             out, "--n", "3", "--seed", "3"],
+            check=True, env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        first = open(os.path.join(out, "metadata.csv")).readline()
+        assert first.count("|") == 2  # LJSpeech pipe format
+
+    def test_fingerprint_stable_across_runs(self):
+        """crc32-keyed formants: same phoneme -> same params regardless of
+        interpreter hash seed (regression for the salted-hash bug)."""
+        import importlib.util
+        import os
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "synth_corpus_tool", os.path.join(repo, "tools",
+                                              "make_synth_corpus.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        import zlib
+        rng = np.random.default_rng(0)
+        h = zlib.crc32(b"AA") % 1000
+        f1, f2, *_ = mod._phoneme_params("AA", rng)
+        assert f1 == 220.0 + (h % 17) * 40.0
+        assert f2 == 900.0 + (h % 23) * 110.0
+        assert mod._phoneme_params("AA", rng) == mod._phoneme_params("AA",
+                                                                     rng)
