@@ -65,8 +65,14 @@ def main():
                            win_length=acfg.win_length, n_iter=60)
 
     # Fresh weights never fire the gate -> decode runs exactly max_steps:
-    # a deterministic, worst-case-length workload.
+    # a deterministic, worst-case-length workload (comparable across
+    # rounds).  Set TACOTRON2_BENCH_CHECKPOINT to a trained checkpoint to
+    # ALSO measure realistic gate-stop behavior (reported to stderr only —
+    # the headline stays the deterministic workload).
     max_steps = 1000  # ~11.6 s of audio at 22.05 kHz / hop 256
+
+    import os
+    bench_ckpt = os.environ.get("TACOTRON2_BENCH_CHECKPOINT")
 
     def run_fused(batch):
         # new tokens every call — the runtime dedupes identical executions
@@ -123,6 +129,42 @@ def main():
 
     secondary = {"rtf_batch16_gl_per_stream": round(rtf16, 6),
                  "frames_per_sec_batch16_gl": round(fps16)}
+
+    # ---- optional: trained checkpoint, realistic gate-stop decode ----
+    if bench_ckpt:
+        try:
+            from tacotron2_tpu.infer import load_model
+            from tacotron2_tpu.text import pad_sequences, text_to_sequence
+            tparams, tstate0 = load_model(bench_ckpt, cfg)
+
+            def trained_decode(text):
+                # identical static config + identical padded token bucket
+                # every call (ONE executable); different texts defeat the
+                # runtime's execution dedupe
+                tokens, lengths = pad_sequences([text_to_sequence(text)],
+                                                pad_to=96)
+                wav, n, ends = synthesize_wav_fused(
+                    tparams, tstate0, cfg.model, acfg,
+                    jnp.asarray(tokens), jnp.asarray(lengths), None,
+                    max_steps=max_steps)
+                float(wav[0, -1])
+                return int(ends[0])
+
+            trained_decode("Warm up the trained program first.")  # compile
+            trained_decode("Let the loaded executable settle in.")
+            t0 = time.time()
+            n_t = trained_decode("The quick brown fox jumps over the "
+                                 "lazy dog near the river bank.")
+            wall_t = time.time() - t0
+            rtf_t = wall_t / max(n_t, 1) / (acfg.hop_length
+                                            / acfg.sampling_rate)
+            log(f"trained ckpt: gate stopped at {n_t} frames, wall "
+                f"{wall_t:.3f}s -> RTF {rtf_t:.5f} (fused program still "
+                f"vocodes the full {max_steps}-frame static buffer, so "
+                f"short utterances pay a fixed GL tail)")
+            secondary["rtf_batch1_trained_gate_stop"] = round(rtf_t, 6)
+        except Exception as e:
+            log(f"trained-checkpoint bench skipped: {e}")
 
     # ---- fused Tacotron2 + HiFi-GAN (the reference's primary vocoder
     # path, inference.py:40-54, as ONE XLA program).  Random generator
