@@ -56,6 +56,15 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     """
     if coordinator_address is None and not distributed_env_configured():
         return jax.process_count() > 1
+    # Explicit env coordination (generic clusters / tests); with only
+    # TACOTRON2_DISTRIBUTED set, the no-arg call auto-detects (TPU pods).
+    if coordinator_address is None:
+        coordinator_address = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+                               or os.environ.get("COORDINATOR_ADDRESS"))
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     kwargs = {}
     if coordinator_address:
         kwargs["coordinator_address"] = coordinator_address
