@@ -200,6 +200,30 @@ def main():
     secondary["rtf_batch1_hifigan"] = round(rtf_hf1, 6)
     secondary["rtf_batch16_hifigan_per_stream"] = round(rtf_hf16, 6)
 
+    # ---- max serving throughput: bf16-cast generator at batch 64 (the
+    # fp32 generator's activations exceed HBM past batch ~32) ----
+    from tacotron2_tpu.models.tacotron2 import cast_params_bf16
+    hp_bf16 = cast_params_bf16(hifigan_params)
+
+    def run_hifigan64():
+        tokens = jnp.asarray(rng.integers(1, 72, (64, 64)), jnp.int32)
+        lengths = jnp.full((64,), 64, jnp.int32)
+        wav, _, n, _ = synthesize_wav_fused_hifigan(
+            params, state, hp_bf16, cfg.model, acfg, tokens,
+            lengths, None, max_steps=max_steps)
+        float(wav[0, -1])
+        return int(n)
+
+    run_hifigan64()  # compile
+    t0 = time.time()
+    n_hf64 = run_hifigan64()
+    wall_hf64 = time.time() - t0
+    fps64 = 64 * n_hf64 / wall_hf64
+    log(f"batch64 fused hifigan bf16: wall {wall_hf64:.3f}s -> "
+        f"aggregate {fps64:.0f} frames/s "
+        f"({fps64 * acfg.hop_length / acfg.sampling_rate:.0f}x realtime)")
+    secondary["frames_per_sec_batch64_hifigan_bf16"] = round(fps64)
+
     # ---- training-step throughput (bf16 mixed-precision policy) ----
     from tacotron2_tpu.train import (create_train_state, make_optimizer,
                                      train_step)

@@ -60,13 +60,24 @@ def _convt_init(key, in_ch, out_ch, k):
 
 
 def _conv(p, x, dilation: int = 1):
-    """'same'-padded dilated conv over (B, C, T)."""
+    """'same'-padded dilated conv over (B, C, T).
+
+    Runs in the weight dtype: fp32 weights keep fp32 accumulation via
+    preferred_element_type; bf16 weights (serving cast — halves the
+    generator's activation footprint, the batch-scaling limit) run the
+    whole stack natively in bf16 (TPU convs still accumulate fp32 on the
+    MXU internally).
+    """
     k = p["w"].shape[-1]
     pad = (k - 1) * dilation // 2
+    if x.dtype != p["w"].dtype:
+        x = x.astype(p["w"].dtype)
+    kwargs = ({"preferred_element_type": jnp.float32}
+              if p["w"].dtype == jnp.float32 else {})
     y = jax.lax.conv_general_dilated(
         x, p["w"], window_strides=(1,), padding=[(pad, pad)],
         rhs_dilation=(dilation,), dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)
+        **kwargs)
     return y + p["b"][None, :, None]
 
 
@@ -74,13 +85,18 @@ def _conv_transpose(p, x, stride: int, torch_padding: int):
     """torch ConvTranspose1d semantics via lhs-dilated convolution.
 
     Output length = (T - 1) * stride + k - 2 * torch_padding.
+    Dtype handling as in :func:`_conv`.
     """
     k = p["w"].shape[-1]
     pad = k - 1 - torch_padding
+    if x.dtype != p["w"].dtype:
+        x = x.astype(p["w"].dtype)
+    kwargs = ({"preferred_element_type": jnp.float32}
+              if p["w"].dtype == jnp.float32 else {})
     y = jax.lax.conv_general_dilated(
         x, p["w"], window_strides=(1,), padding=[(pad, pad)],
         lhs_dilation=(stride,), dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32)
+        **kwargs)
     return y + p["b"][None, :, None]
 
 
@@ -130,7 +146,8 @@ def hifigan_apply(params: Dict[str, Any], mel: jnp.ndarray) -> jnp.ndarray:
         x = acc / n_res
     x = jax.nn.leaky_relu(x, LRELU_SLOPE)
     x = _conv(params["conv_post"], x)
-    return jnp.tanh(x)[:, 0, :]
+    # fp32 waveform regardless of the compute dtype (bf16 serving cast)
+    return jnp.tanh(x).astype(jnp.float32)[:, 0, :]
 
 
 # ---------------------------------------------------------------------------

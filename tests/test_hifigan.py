@@ -25,6 +25,19 @@ class TestForward:
         assert wav.shape == (2, 7 * 256)  # prod(8,8,2,2) * hop alignment
         assert np.abs(wav).max() <= 1.0  # tanh output
 
+    def test_bf16_serving_cast_close_to_fp32(self):
+        """bf16-cast generator (halved activation footprint for batched
+        serving) stays numerically close to fp32 and returns fp32 audio."""
+        from tacotron2_tpu.models.tacotron2 import cast_params_bf16
+        import jax.numpy as jnp
+        params = hifigan_init(jax.random.PRNGKey(0))
+        mel = np.random.default_rng(1).standard_normal((1, 80, 9)).astype(
+            np.float32) - 5.0
+        ref = np.asarray(hifigan_apply(params, mel))
+        bf = np.asarray(hifigan_apply(cast_params_bf16(params), mel))
+        assert bf.dtype == np.float32
+        assert np.abs(bf - ref).max() < 0.05   # tanh-bounded signal
+
 
 def _build_torch_hifigan(torch):
     """Minimal torch HiFi-GAN v1 generator (independent reimplementation
