@@ -67,8 +67,9 @@ def main():
     # Fresh weights never fire the gate -> decode runs exactly max_steps:
     # a deterministic, worst-case-length workload (comparable across
     # rounds).  Set TACOTRON2_BENCH_CHECKPOINT to a trained checkpoint to
-    # ALSO measure realistic gate-stop behavior (reported to stderr only —
-    # the headline stays the deterministic workload).
+    # ALSO measure realistic gate-stop behavior — the headline metric
+    # stays the deterministic workload; the extra measurement is logged
+    # and added to "secondary" only when the env var is set.
     max_steps = 1000  # ~11.6 s of audio at 22.05 kHz / hop 256
 
     import os
@@ -134,15 +135,14 @@ def main():
     if bench_ckpt:
         try:
             from tacotron2_tpu.infer import load_model
-            from tacotron2_tpu.text import pad_sequences, text_to_sequence
+            from tacotron2_tpu.text import texts_to_batch
             tparams, tstate0 = load_model(bench_ckpt, cfg)
 
             def trained_decode(text):
                 # identical static config + identical padded token bucket
                 # every call (ONE executable); different texts defeat the
                 # runtime's execution dedupe
-                tokens, lengths = pad_sequences([text_to_sequence(text)],
-                                                pad_to=96)
+                tokens, lengths = texts_to_batch([text], pad_to=96)
                 wav, n, ends = synthesize_wav_fused(
                     tparams, tstate0, cfg.model, acfg,
                     jnp.asarray(tokens), jnp.asarray(lengths), None,

@@ -55,15 +55,17 @@ class TTSService:
             from ..models import cast_params_bf16
             self.params = cast_params_bf16(self.params)
         self.griffinlim_iters = griffinlim_iters
+        self._bf16 = bf16
         self._lock = threading.Lock()
-        self._hifigan_params = None
+        self._hifigan_vocoder = None
         self._requests = 0
 
     def _hifigan(self):
-        if self._hifigan_params is None:
+        if self._hifigan_vocoder is None:
             from ..models.hifigan import load_hifigan_vocoder
-            self._hifigan_params = load_hifigan_vocoder()
-        return self._hifigan_params
+            # --bf16 applies to the generator too (halved activations)
+            self._hifigan_vocoder = load_hifigan_vocoder(bf16=self._bf16)
+        return self._hifigan_vocoder
 
     def synthesize(self, text: str, vocoder: str = "griffinlim",
                    speaker_id=None) -> bytes:

@@ -218,10 +218,20 @@ def load_hifigan_params(checkpoint_path: Optional[str] = None
     return jax.tree_util.tree_map(jnp.asarray, params)
 
 
-def load_hifigan_vocoder(checkpoint_path: Optional[str] = None):
+def load_hifigan_vocoder(checkpoint_path: Optional[str] = None,
+                         bf16: bool = False):
     """Load the NGC generator checkpoint and return a jitted vocoder callable
-    ``mel (B, 80, T) -> wav (B, T*256)``."""
+    ``mel (B, 80, T) -> wav (B, T*256)``.
+
+    ``bf16`` casts the generator weights: halves the activation footprint
+    (the batch-scaling limit — fp32 exceeds HBM past batch ~32) and the
+    conv stack runs natively bf16 on the MXU; output stays fp32 audio.
+    """
     params = load_hifigan_params(checkpoint_path)
+    if bf16:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, params)
 
     def vocode(mel) -> np.ndarray:
         return np.asarray(_jitted_apply(params, jnp.asarray(mel)))

@@ -7,7 +7,9 @@ loader process-sharding, global-batch assembly, GSPMD step, collective
 Orbax checkpointing, lead-only logging — exactly as on a pod slice, with
 CPU devices + Gloo collectives standing in for chips + ICI.
 
-Prints ``RESULT rank=<r> step=<n> loss=<x>`` for the parent to compare.
+Prints ``RESULT rank=<r> step=<n> param0=<x>`` (x = first parameter
+value, replicated — identical across ranks iff training stayed in sync)
+for the parent to compare.
 """
 
 import os
@@ -46,11 +48,11 @@ def main() -> None:
                                   text_pad_multiple=4, mel_pad_multiple=8))
 
     state = train(meta, ckpt_dir, cfg=cfg)
-    # A replicated scalar is addressable on every process.
-    loss_like = float(np.asarray(
+    # A replicated param is addressable on every process; ranks must agree.
+    param0 = float(np.asarray(
         jax.tree_util.tree_leaves(state.params)[0]).ravel()[0])
     print(f"RESULT rank={jax.process_index()} step={int(state.step)} "
-          f"param0={loss_like:.6f}", flush=True)
+          f"param0={param0:.6f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -227,9 +227,15 @@ class TestMultiHostPlumbing:
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                 text=True))
         outs = []
-        for p in procs:
-            out, _ = p.communicate(timeout=600)
-            outs.append(out)
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=600)
+                outs.append(out)
+        finally:
+            for p in procs:   # a hung rank must not outlive the test
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
         for rank, (p, out) in enumerate(zip(procs, outs)):
             assert p.returncode == 0, f"rank {rank} failed:\n{out[-3000:]}"
         results = {}
