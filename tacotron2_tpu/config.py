@@ -109,6 +109,14 @@ class ModelConfig:
     # (fits comfortably in 16 GB HBM at reference scale).
     remat_decoder_step: bool = False
 
+    # Remat policy when remat_decoder_step is on: "full" recomputes the
+    # whole step (max memory savings, ~35% slower at B=256); "dots" keeps
+    # matmul outputs resident and recomputes only elementwise ops
+    # (jax.checkpoint_policies.dots_saveable) — a cheaper middle ground
+    # when the elementwise residuals (LSTM gate activations, attention
+    # tanh/softmax) are what overflow HBM.
+    decoder_remat_policy: str = "full"
+
 
 @dataclasses.dataclass(frozen=True)
 class GuidedAttentionConfig:

@@ -162,9 +162,18 @@ def decoder_teacher_forced(params: Dict[str, Any], cfg: ModelConfig,
                            processed_memory, mask, key_t, train)
 
     if cfg.remat_decoder_step and train:
-        # Recompute each step's activations in the backward pass instead of
-        # storing them (see ModelConfig.remat_decoder_step).
-        step = jax.checkpoint(step)
+        # Recompute step activations in the backward pass instead of
+        # storing them (see ModelConfig.remat_decoder_step /
+        # decoder_remat_policy).
+        if cfg.decoder_remat_policy == "dots":
+            step = jax.checkpoint(
+                step, policy=jax.checkpoint_policies.dots_saveable)
+        elif cfg.decoder_remat_policy == "full":
+            step = jax.checkpoint(step)
+        else:
+            raise ValueError(
+                f"unknown decoder_remat_policy "
+                f"{cfg.decoder_remat_policy!r} (expected 'full' or 'dots')")
 
     xs = (jnp.swapaxes(prenet_out, 0, 1), step_keys)   # (T, B, 256), (T, 2)
     _, (mels, gates, aligns) = jax.lax.scan(

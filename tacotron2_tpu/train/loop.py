@@ -152,8 +152,15 @@ def train(metadata_path: str, checkpoint_dir: str, *,
           resume: Optional[str] = None,
           postnet_freeze_steps_override: Optional[int] = None,
           accum_steps: int = 1,
-          precision: Optional[str] = None) -> TrainState:
-    """Main training routine (CLI contract of reference train.py:287-298)."""
+          precision: Optional[str] = None,
+          remat: Optional[str] = None) -> TrainState:
+    """Main training routine (CLI contract of reference train.py:287-298).
+
+    ``remat``: None keeps the config; "off" disables decoder-step
+    rematerialization; "full"/"dots" enable it with that policy
+    (ModelConfig.decoder_remat_policy) — use for batch sizes whose decoder
+    activations exceed HBM.
+    """
     import dataclasses
     cfg = cfg or Config()
     if precision is not None:
@@ -168,6 +175,13 @@ def train(metadata_path: str, checkpoint_dir: str, *,
             **({"epochs": epochs} if epochs else {}),
             **({"precision": precision} if precision else {}))
         cfg = dataclasses.replace(cfg, train=tr)
+    if remat is not None:
+        if remat not in ("off", "full", "dots"):
+            raise ValueError(f"remat must be 'off', 'full', or 'dots'; "
+                             f"got {remat!r}")
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, remat_decoder_step=remat != "off",
+            **({} if remat == "off" else {"decoder_remat_policy": remat})))
 
     from .step import compute_dtype_of
     compute_dtype_of(cfg.train.precision)   # validate early, before compiles

@@ -32,16 +32,32 @@ def _batch(seed=0):
 class TestRemat:
     def test_remat_step_matches_plain_step(self):
         results = {}
-        for remat in (False, True):
-            cfg = Config(model=dataclasses.replace(
-                BASE, remat_decoder_step=remat))
+        variants = {"plain": dict(remat_decoder_step=False),
+                    "full": dict(remat_decoder_step=True,
+                                 decoder_remat_policy="full"),
+                    "dots": dict(remat_decoder_step=True,
+                                 decoder_remat_policy="dots")}
+        for name, fields in variants.items():
+            cfg = Config(model=dataclasses.replace(BASE, **fields))
             state = create_train_state(cfg, seed=0)
             tx = make_optimizer(cfg.train)
             state, losses, _ = train_step(
                 state, _batch(), cfg=cfg, tx=tx, use_postnet=True,
                 sigma_warmup_steps=800)
-            results[remat] = (float(losses.total),
-                              np.asarray(state.params["decoder"]["proj"]["w"]))
-        assert np.isclose(results[False][0], results[True][0], rtol=1e-6)
-        np.testing.assert_allclose(results[False][1], results[True][1],
-                                   atol=1e-6)
+            results[name] = (float(losses.total),
+                             np.asarray(state.params["decoder"]["proj"]["w"]))
+        for name in ("full", "dots"):
+            assert np.isclose(results["plain"][0], results[name][0],
+                              rtol=1e-6), name
+            np.testing.assert_allclose(results["plain"][1], results[name][1],
+                                       atol=1e-6)
+
+    def test_unknown_remat_policy_rejected(self):
+        import pytest
+        cfg = Config(model=dataclasses.replace(
+            BASE, remat_decoder_step=True, decoder_remat_policy="bogus"))
+        state = create_train_state(cfg, seed=0)
+        tx = make_optimizer(cfg.train)
+        with pytest.raises(ValueError, match="decoder_remat_policy"):
+            train_step(state, _batch(), cfg=cfg, tx=tx, use_postnet=True,
+                       sigma_warmup_steps=800)

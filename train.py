@@ -35,6 +35,13 @@ if __name__ == "__main__":
                              "config's bfloat16 mixed-precision policy — "
                              "fp32 master weights, bf16 matmuls; the TPU "
                              "counterpart of the reference's CUDA AMP).")
+    parser.add_argument("--remat", type=str, default=None,
+                        choices=["off", "full", "dots"],
+                        help="Decoder-step rematerialization for the "
+                             "backward pass: 'full' recomputes the whole "
+                             "step, 'dots' keeps matmul outputs and "
+                             "recomputes elementwise ops. Use when large "
+                             "--batch_size overflows HBM (default: config).")
     args = parser.parse_args()
 
     enable_persistent_cache()
@@ -43,4 +50,5 @@ if __name__ == "__main__":
           learning_rate=args.lr, debug_overfit=args.debug,
           val_metadata=args.val_metadata, resume=args.resume,
           postnet_freeze_steps_override=args.postnet_freeze_steps,
-          accum_steps=args.accum_steps, precision=args.precision)
+          accum_steps=args.accum_steps, precision=args.precision,
+          remat=args.remat)
