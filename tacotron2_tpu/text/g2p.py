@@ -142,7 +142,10 @@ class G2p:
     single spaces); returns a flat symbol list with ``' '`` separators,
     mirroring ``g2p_en.G2p.__call__`` output format.
 
-    OOV resolution order (each stage only fires if the previous missed):
+    Resolution order (each stage only fires if the previous missed):
+      0. heteronym disambiguation (context-sensitive, ``__call__`` only) —
+         the counterpart of g2p_en's POS-tagged homograph lexicon, using
+         deterministic previous-word cues (homographs.py);
       1. direct lexicon lookup;
       2. apostrophe restoration — the normalizer strips apostrophes
          ("don't" -> "dont", reference: src/text.py:24-26), but CMUdict
@@ -154,14 +157,17 @@ class G2p:
          class: inflected forms CMUdict lists only as stems);
       4. rule LTS as the last resort.
 
-    Known divergence from the reference's g2p_en: heteronyms ("read",
-    "lives", "bass") always get CMUdict's first variant — g2p_en picks by
-    POS tag.  See tests/test_text.py::TestG2pDivergences.
+    Known divergence from the reference's g2p_en: heteronym choice uses
+    rule cues instead of a statistical POS tagger, and pairs POS cannot
+    separate ("bass" fish/music) take CMUdict's first variant.  See
+    tests/test_text.py::TestG2pDivergences / TestHomographs.
     """
 
     def __init__(self, lexicon: Optional[Dict[str, Tuple[str, ...]]] = None,
-                 lexicon_path: Optional[str] = None):
+                 lexicon_path: Optional[str] = None,
+                 homographs: bool = True):
         self._lexicon = lexicon if lexicon is not None else load_lexicon(lexicon_path)
+        self._homographs = homographs
 
     def _lookup(self, word: str) -> Optional[Tuple[str, ...]]:
         return self._lexicon.get(word)
@@ -226,7 +232,19 @@ class G2p:
         return None
 
     def pronounce(self, word: str) -> Sequence[str]:
+        """Context-free pronunciation (heteronyms take their default
+        reading; use ``__call__``/``pronounce_in_context`` for cue-driven
+        heteronym choice)."""
+        return self.pronounce_in_context(word, prev=None)
+
+    def pronounce_in_context(self, word: str,
+                             prev: Optional[str] = None) -> Sequence[str]:
         word = word.lower()
+        if self._homographs:
+            from .homographs import disambiguate
+            hit = disambiguate(word, prev.lower() if prev else None)
+            if hit is not None:
+                return hit
         for resolver in (self._lookup, self._apostrophe_restore,
                          self._morphology, self._compound):
             entry = resolver(word)
@@ -246,9 +264,11 @@ class G2p:
         return "lts"
 
     def __call__(self, text: str) -> List[str]:
+        words = text.split()
         out: List[str] = []
-        for i, word in enumerate(text.split()):
+        for i, word in enumerate(words):
             if i > 0:
                 out.append(' ')
-            out.extend(self.pronounce(word))
+            out.extend(self.pronounce_in_context(
+                word, prev=words[i - 1] if i > 0 else None))
         return out

@@ -88,6 +88,32 @@ def find_lexicon_path(explicit: Optional[str] = None,
     return None
 
 
+def parse_cmudict_variants(path: str) -> Dict[str, List[Tuple[str, ...]]]:
+    """Like :func:`parse_cmudict` but keeps EVERY pronunciation variant,
+    in file order.  Used to validate the curated homograph table
+    (text/homographs.py) against the lexicon."""
+    lex: Dict[str, List[Tuple[str, ...]]] = {}
+    with _open_maybe_gzip(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith(";;;"):
+                continue
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            word = parts[0]
+            rest = parts[1:]
+            if rest and rest[0].isdigit() and len(rest) > 1:
+                phones = rest[1:]
+            else:
+                m = _VARIANT_PAREN.match(word)
+                if m:
+                    word = m.group(1)
+                phones = rest
+            lex.setdefault(word.lower(), []).append(tuple(phones))
+    return lex
+
+
 @functools.lru_cache(maxsize=4)
 def load_lexicon(path: Optional[str] = None) -> Dict[str, Tuple[str, ...]]:
     """Load (and cache) the pronunciation lexicon."""

@@ -153,19 +153,83 @@ class TestG2pFallbackCascade:
 
 class TestG2pDivergences:
     """DOCUMENTED divergences from the reference's g2p_en
-    (reference: src/text.py:35): heteronyms always take CMUdict's first
-    variant because this G2P has no POS tagger.  These tests pin the
-    behavior so a silent change is caught."""
+    (reference: src/text.py:35): heteronym choice uses deterministic
+    context rules (tacotron2_tpu/text/homographs.py) instead of g2p_en's
+    statistical POS tagger; pairs POS cannot separate ("bass") take
+    CMUdict's first variant.  These tests pin the behavior so a silent
+    change is caught."""
 
-    def test_heteronyms_take_first_cmudict_variant(self):
+    def test_heteronym_defaults_are_deterministic(self):
         g2p = G2p()
-        # 'read': CMUdict variant 1 is the present-tense R IY1 D
-        assert list(g2p.pronounce("read")) == ["R", "EH1", "D"] or \
-            list(g2p.pronounce("read")) == ["R", "IY1", "D"]
-        # whatever the variant, it must be deterministic
+        # context-free defaults
+        assert list(g2p.pronounce("read")) == ["R", "IY1", "D"]
         assert g2p.pronounce("read") == g2p.pronounce("read")
         assert g2p.pronounce("lives") == g2p.pronounce("lives")
+        # 'bass' is not POS-resolvable: first CMUdict variant, always
         assert g2p.pronounce("bass") == g2p.pronounce("bass")
+        assert list(g2p.pronounce("bass")) == ["B", "AE1", "S"]
+
+    def test_homographs_can_be_disabled(self):
+        g2p = G2p(homographs=False)
+        # plain first-variant lookup (CMUdict lists R EH1 D first)
+        assert list(g2p.pronounce("read")) == ["R", "EH1", "D"]
+
+
+class TestHomographs:
+    """Context-driven heteronym resolution (the g2p_en homograph-lexicon
+    counterpart, reference: src/text.py:35)."""
+
+    def phones(self, text):
+        return " ".join(G2p()(text))
+
+    def test_read_tense(self):
+        assert "R IY1 D" in self.phones("i will read the book")
+        assert "R EH1 D" in self.phones("i have read the book")
+
+    def test_wind_noun_vs_verb(self):
+        assert "W IH1 N D" in self.phones("the wind was strong")
+        assert "W AY1 N D" in self.phones("please wind the clock")
+
+    def test_use_voicing(self):
+        assert "Y UW1 Z" in self.phones("they will use it")
+        assert "Y UW1 S" in self.phones("the use of force")
+
+    def test_live_vowel(self):
+        assert "L AY1 V" in self.phones("a live concert")
+        assert "L IH1 V" in self.phones("they live in boston")
+
+    def test_record_stress(self):
+        assert "R AH0 K AO1 R D" in self.phones("she will record the song")
+        assert "R EH1 K ER0 D" in self.phones("the record shows")
+
+    def test_separate_ate(self):
+        assert "S EH1 P ER0 IH0 T" in self.phones("a separate issue")
+        assert "S EH1 P ER0 EY2 T" in self.phones("to separate the parts")
+
+    def test_every_pron_is_a_cmudict_variant(self):
+        """The curated table must never invent a pronunciation: every
+        entry is verbatim one of the word's CMUdict variants."""
+        from tacotron2_tpu.text.homographs import (HOMOGRAPHS,
+                                                   TENSE_HETERONYMS)
+        from tacotron2_tpu.text.lexicon import (find_lexicon_path,
+                                                parse_cmudict_variants)
+        variants = parse_cmudict_variants(find_lexicon_path())
+        for word, entry in HOMOGRAPHS.items():
+            assert entry.verb in variants[word], (word, entry.verb)
+            assert entry.other in variants[word], (word, entry.other)
+            assert entry.verb != entry.other, word
+            assert entry.default in ("verb", "other"), word
+        for word, (past, nonpast, default) in TENSE_HETERONYMS.items():
+            assert past in variants[word], (word, past)
+            assert nonpast in variants[word], (word, nonpast)
+            assert default in ("past", "nonpast"), word
+
+    def test_full_pipeline_uses_context(self):
+        # through text_to_sequence (normalize + G2P + IDs)
+        ids_v = text_to_sequence("They will use it.")
+        ids_n = text_to_sequence("The use of force.")
+        assert SYMBOL_TO_ID["Z"] in ids_v
+        assert SYMBOL_TO_ID["Z"] not in ids_n[:6]  # 'use' early: /S/ not /Z/
 
 
 class TestG2pCoverage:
