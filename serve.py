@@ -25,6 +25,15 @@ if __name__ == "__main__":
                         help="Serve with bfloat16 weights (halves weight "
                              "memory; fp32 is faster for batch-1 decode "
                              "on v5e).")
+    parser.add_argument("--max_batch", type=int, default=16,
+                        help="Dynamic micro-batching: coalesce up to this "
+                             "many concurrent requests into one batched "
+                             "decode (1 = per-request serving).")
+    parser.add_argument("--batch_window_ms", type=float, default=0.0,
+                        help="Wait this long after a request arrives for "
+                             "batch-mates (0 = drain-only: batch whatever "
+                             "queued while the device was busy; zero "
+                             "added latency when idle).")
     args = parser.parse_args()
 
     enable_persistent_cache()
@@ -38,4 +47,5 @@ if __name__ == "__main__":
             base, model=dataclasses.replace(base.model,
                                             n_speakers=args.n_speakers))
     serve(args.checkpoint, host=args.host, port=args.port, cfg=cfg,
-          griffinlim_iters=args.griffinlim_iters, bf16=args.bf16)
+          griffinlim_iters=args.griffinlim_iters, bf16=args.bf16,
+          max_batch=args.max_batch, batch_window_ms=args.batch_window_ms)

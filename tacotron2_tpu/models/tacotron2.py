@@ -85,9 +85,13 @@ def init_projection_bias(params: Dict[str, Any],
     return new
 
 
-def make_speaker_ids(speaker_id: Optional[int], batch: int,
+def make_speaker_ids(speaker_id, batch: int,
                      cfg: ModelConfig) -> Optional[jnp.ndarray]:
     """Validated (B,) speaker-id array for inference helpers.
+
+    ``speaker_id`` is either one id broadcast over the batch, or a
+    length-``batch`` sequence of per-item ids (mixed-speaker batches, e.g.
+    the serving layer's coalesced requests); ``None`` entries default.
 
     Multi-speaker models are ALWAYS conditioned in training
     (train/step.py passes the batch's speaker_ids), so decoding one
@@ -95,20 +99,31 @@ def make_speaker_ids(speaker_id: Optional[int], batch: int,
     multi-speaker and no id is given, default to speaker 0 with a notice.
     Out-of-range ids raise (jnp.take would silently clamp under jit).
     """
+    if isinstance(speaker_id, (list, tuple)):
+        if len(speaker_id) != batch:
+            raise ValueError(f"got {len(speaker_id)} speaker_ids for a "
+                             f"batch of {batch}")
+        per_item = list(speaker_id)
+    else:
+        per_item = [speaker_id] * batch
     if cfg.n_speakers <= 1:
-        if speaker_id not in (None, 0):
-            raise ValueError(
-                f"speaker_id={speaker_id} given but the model is "
-                f"single-speaker (n_speakers={cfg.n_speakers})")
+        for sid in per_item:
+            if sid not in (None, 0):
+                raise ValueError(
+                    f"speaker_id={sid} given but the model is "
+                    f"single-speaker (n_speakers={cfg.n_speakers})")
         return None
-    if speaker_id is None:
+    if any(sid is None for sid in per_item):
         print("[speaker] multi-speaker model, no speaker_id given: "
               "using speaker 0")
-        speaker_id = 0
-    if not (0 <= int(speaker_id) < cfg.n_speakers):
-        raise ValueError(f"speaker_id={speaker_id} out of range "
-                         f"[0, {cfg.n_speakers})")
-    return jnp.full((batch,), int(speaker_id), jnp.int32)
+    ids = []
+    for sid in per_item:
+        sid = 0 if sid is None else int(sid)
+        if not (0 <= sid < cfg.n_speakers):
+            raise ValueError(f"speaker_id={sid} out of range "
+                             f"[0, {cfg.n_speakers})")
+        ids.append(sid)
+    return jnp.asarray(ids, jnp.int32)
 
 
 def _condition_memory(params: Dict[str, Any], memory: jnp.ndarray,

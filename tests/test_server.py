@@ -12,24 +12,34 @@ import pytest
 from tacotron2_tpu.config import Config, ModelConfig, TrainConfig
 
 
-@pytest.fixture(scope="module")
-def server(tmp_path_factory):
-    from http.server import ThreadingHTTPServer
-
-    import jax
-
-    from tacotron2_tpu.infer.server import TTSService, make_handler
-    from tacotron2_tpu.models import tacotron2_init
-    from tacotron2_tpu.train.checkpoint import save_params_only
-
-    cfg = Config(model=ModelConfig(
+def _tiny_cfg() -> Config:
+    return Config(model=ModelConfig(
         symbols_embedding_dim=32, encoder_embedding_dim=32,
         decoder_rnn_dim=48, prenet_dim=16, attention_rnn_dim=48,
         attention_dim=24, location_n_filters=8, location_kernel_size=15,
         postnet_embedding_dim=24, max_decoder_steps=24))
+
+
+def _tiny_checkpoint(tmp_path_factory, cfg: Config) -> str:
+    import jax
+
+    from tacotron2_tpu.models import tacotron2_init
+    from tacotron2_tpu.train.checkpoint import save_params_only
+
     params, state = tacotron2_init(jax.random.PRNGKey(0), cfg.model)
     ckpt = str(tmp_path_factory.mktemp("srv") / "model")
     save_params_only(ckpt, params, state)
+    return ckpt
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from http.server import ThreadingHTTPServer
+
+    from tacotron2_tpu.infer.server import TTSService, make_handler
+
+    cfg = _tiny_cfg()
+    ckpt = _tiny_checkpoint(tmp_path_factory, cfg)
 
     service = TTSService(ckpt, cfg, griffinlim_iters=4)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
@@ -107,3 +117,140 @@ class TestServer:
         status, _, body = _post(server,
                                 {"text": "hi", "vocoder": "hifigan"})
         assert status == 503
+
+
+@pytest.fixture(scope="module")
+def batching_service(tmp_path_factory):
+    from tacotron2_tpu.infer.server import BatchingTTSService
+
+    cfg = _tiny_cfg()
+    ckpt = _tiny_checkpoint(tmp_path_factory, cfg)
+    # Generous window so concurrent test requests deterministically land
+    # in one batch regardless of scheduling jitter.
+    service = BatchingTTSService(ckpt, cfg, griffinlim_iters=4,
+                                 max_batch=8, batch_window_ms=1000.0)
+    yield service
+    service.close()
+
+
+class TestBatchingService:
+    """Dynamic micro-batching: concurrent requests coalesce into one
+    batched decode (new serving capability, no reference counterpart)."""
+
+    def test_concurrent_requests_coalesce(self, batching_service):
+        svc = batching_service
+        texts = ["Hello world.", "A second sentence.",
+                 "Third one here.", "And a fourth."]
+        results = [None] * len(texts)
+        errors = []
+
+        def call(i):
+            try:
+                results[i] = svc.synthesize(texts[i])
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(len(texts))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errors
+        for wav in results:
+            with wave.open(io.BytesIO(wav)) as w:
+                assert w.getframerate() == 22050
+                assert w.getnframes() > 0
+        stats = svc.stats
+        assert stats["max_batch_observed"] >= 2
+        assert stats["batched_requests"] >= 2
+        assert svc.request_count >= len(texts)
+
+    def test_single_request_still_works(self, batching_service):
+        wav = batching_service.synthesize("Solo request.")
+        with wave.open(io.BytesIO(wav)) as w:
+            assert w.getnframes() > 0
+
+    def test_invalid_speaker_rejected_without_batching(self, batching_service):
+        batches_before = batching_service.stats["batches"]
+        with pytest.raises(ValueError):
+            batching_service.synthesize("hi", speaker_id=3)
+        # rejected in the request thread, never reached the device worker
+        assert batching_service.stats["batches"] == batches_before
+
+    def test_http_roundtrip_with_batching(self, batching_service):
+        from http.server import ThreadingHTTPServer
+
+        from tacotron2_tpu.infer.server import make_handler
+
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                    make_handler(batching_service))
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            statuses = []
+
+            def post(text):
+                status, ctype, body = _post(url, {"text": text})
+                statuses.append((status, ctype, len(body)))
+
+            threads = [threading.Thread(target=post, args=(f"Request {i}.",))
+                       for i in range(3)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=600)
+            assert len(statuses) == 3
+            for status, ctype, nbytes in statuses:
+                assert status == 200
+                assert ctype == "audio/wav"
+                assert nbytes > 44
+            with urllib.request.urlopen(url + "/healthz", timeout=60) as r:
+                health = json.loads(r.read())
+            assert health["status"] == "ok"
+            assert health["batches"] >= 1
+            assert health["max_batch"] == 8
+        finally:
+            httpd.shutdown()
+
+    def test_close_rejects_new_requests(self, tmp_path_factory):
+        from tacotron2_tpu.infer.server import BatchingTTSService
+
+        cfg = _tiny_cfg()
+        ckpt = _tiny_checkpoint(tmp_path_factory, cfg)
+        svc = BatchingTTSService(ckpt, cfg, griffinlim_iters=2,
+                                 max_batch=2, batch_window_ms=0.0)
+        assert svc.synthesize("Before close.")  # works
+        svc.close()
+        with pytest.raises(RuntimeError):
+            svc.synthesize("After close.")
+
+
+class TestPerItemSpeakerIds:
+    """make_speaker_ids with a per-item sequence (mixed-speaker batches)."""
+
+    def test_sequence_multispeaker(self):
+        from tacotron2_tpu.models.tacotron2 import make_speaker_ids
+        cfg = ModelConfig(n_speakers=4)
+        ids = make_speaker_ids([1, None, 3], 3, cfg)
+        assert ids.tolist() == [1, 0, 3]
+
+    def test_sequence_wrong_length(self):
+        from tacotron2_tpu.models.tacotron2 import make_speaker_ids
+        cfg = ModelConfig(n_speakers=4)
+        with pytest.raises(ValueError):
+            make_speaker_ids([1, 2], 3, cfg)
+
+    def test_sequence_out_of_range(self):
+        from tacotron2_tpu.models.tacotron2 import make_speaker_ids
+        cfg = ModelConfig(n_speakers=2)
+        with pytest.raises(ValueError):
+            make_speaker_ids([0, 5], 2, cfg)
+
+    def test_sequence_single_speaker_model(self):
+        from tacotron2_tpu.models.tacotron2 import make_speaker_ids
+        cfg = ModelConfig(n_speakers=1)
+        assert make_speaker_ids([None, 0], 2, cfg) is None
+        with pytest.raises(ValueError):
+            make_speaker_ids([None, 1], 2, cfg)
