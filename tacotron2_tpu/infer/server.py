@@ -48,6 +48,12 @@ from .synthesize import load_model, synthesize_mels
 from .vocode import vocode_mel
 
 
+# Mel frames of left context re-vocoded with each streamed chunk (then
+# trimmed from the audio): covers the STFT window / generator receptive
+# field enough to suppress chunk-boundary clicks.
+_STREAM_CTX = 8
+
+
 def _wav_bytes(audio: np.ndarray, sr: int) -> bytes:
     """Encode float audio as 16-bit PCM WAV bytes."""
     pcm = np.clip(audio, -1.0, 1.0)
@@ -90,6 +96,56 @@ class TTSService:
             vocoder=self._hifigan() if vocoder == "hifigan" else None,
             griffinlim_iters=self.griffinlim_iters)
         return _wav_bytes(audio, self.cfg.audio.sampling_rate)
+
+    def stream_pcm(self, text: str, vocoder: str = "griffinlim",
+                   speaker_id=None, chunk_frames: int = 64):
+        """Generator of 16-bit PCM byte chunks, yielded while the decoder
+        is still running (infer/streaming.py) — time-to-first-audio is one
+        encoder pass + ``chunk_frames`` decode steps instead of the whole
+        utterance.
+
+        Each chunk is vocoded with ``_STREAM_CTX`` frames of left context
+        from the previous chunk (trimmed from the audio) to suppress
+        boundary discontinuities in the chunk-local vocoder.  The device
+        lock is taken per chunk, so a long stream interleaves with other
+        requests (including a BatchingTTSService's batch worker) instead
+        of monopolizing the chip.
+        """
+        from .streaming import stream_mels
+
+        # validate eagerly so errors raise before any bytes are sent
+        make_speaker_ids(speaker_id, 1, self.cfg.model)
+        if vocoder == "hifigan":
+            self._hifigan()   # raises FileNotFoundError before streaming
+        with self._lock:
+            self._requests += 1
+
+        def gen():
+            ctx: Optional[np.ndarray] = None
+            mel_gen = stream_mels(self.params, self.model_state, text,
+                                  self.cfg, chunk_frames=chunk_frames,
+                                  speaker_id=speaker_id)
+            hop = self.cfg.audio.hop_length
+            while True:
+                with self._lock:
+                    try:
+                        chunk = next(mel_gen)
+                    except StopIteration:
+                        return
+                    mel = (chunk if ctx is None
+                           else np.concatenate([ctx, chunk], axis=0))
+                    audio = vocode_mel(
+                        mel, self.cfg.audio,
+                        vocoder=(self._hifigan() if vocoder == "hifigan"
+                                 else None),
+                        griffinlim_iters=self.griffinlim_iters)
+                    if ctx is not None:
+                        audio = audio[ctx.shape[0] * hop:]
+                    ctx = mel[-_STREAM_CTX:]
+                pcm = np.clip(audio, -1.0, 1.0)
+                yield (pcm * 32767.0).astype("<i2").tobytes()
+
+        return gen()
 
     def synthesize(self, text: str, vocoder: str = "griffinlim",
                    speaker_id=None) -> bytes:
@@ -275,7 +331,7 @@ def make_handler(service: TTSService):
                 self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/synthesize":
+            if self.path not in ("/synthesize", "/synthesize_streaming"):
                 self._json(404, {"error": "not found"})
                 return
             try:
@@ -295,6 +351,34 @@ def make_handler(service: TTSService):
                                                                  int)):
                     self._json(400, {"error": "speaker_id must be an int"})
                     return
+                if self.path == "/synthesize_streaming":
+                    chunk_frames = payload.get("chunk_frames", 64)
+                    if (isinstance(chunk_frames, bool)
+                            or not isinstance(chunk_frames, int)
+                            or chunk_frames < 2):
+                        self._json(400, {"error": "chunk_frames must be an "
+                                                  "int >= 2"})
+                        return
+                    pcm_gen = service.stream_pcm(
+                        text, vocoder, speaker_id=speaker_id,
+                        chunk_frames=chunk_frames)
+                    sr = service.cfg.audio.sampling_rate
+                    self.send_response(200)
+                    # raw little-endian 16-bit mono PCM, streamed until
+                    # connection close (no Content-Length by design)
+                    self.send_header("Content-Type",
+                                     f"audio/L16;rate={sr};channels=1")
+                    self.send_header("Connection", "close")
+                    self.end_headers()
+                    try:
+                        for pcm in pcm_gen:
+                            self.wfile.write(pcm)
+                            self.wfile.flush()
+                    except Exception:
+                        # headers already sent: just drop the connection
+                        # (client sees a truncated stream)
+                        self.close_connection = True
+                    return
                 wav = service.synthesize(text, vocoder,
                                          speaker_id=speaker_id)
             except json.JSONDecodeError:
@@ -306,6 +390,8 @@ def make_handler(service: TTSService):
             except FileNotFoundError as e:  # hifigan checkpoint missing
                 self._json(503, {"error": str(e)})
                 return
+            except (BrokenPipeError, ConnectionResetError):
+                return  # client hung up mid-stream
             except Exception as e:  # pragma: no cover
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return

@@ -254,3 +254,62 @@ class TestPerItemSpeakerIds:
         assert make_speaker_ids([None, 0], 2, cfg) is None
         with pytest.raises(ValueError):
             make_speaker_ids([None, 1], 2, cfg)
+
+
+class TestStreamingEndpoint:
+    """Chunked PCM streaming (service generator + HTTP route)."""
+
+    def test_stream_pcm_yields_chunks(self, batching_service):
+        chunks = list(batching_service.stream_pcm("Hello streaming world.",
+                                                  chunk_frames=8))
+        assert len(chunks) >= 1
+        total = b"".join(chunks)
+        assert len(total) > 0 and len(total) % 2 == 0  # whole int16 samples
+        pcm = np.frombuffer(total, dtype="<i2")
+        assert np.abs(pcm).max() <= 32767
+
+    def test_stream_validates_before_yield(self, batching_service):
+        with pytest.raises(ValueError):
+            batching_service.stream_pcm("hi", speaker_id=9)
+
+    def test_http_streaming_roundtrip(self, batching_service):
+        from http.server import ThreadingHTTPServer
+
+        from tacotron2_tpu.infer.server import make_handler
+
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                    make_handler(batching_service))
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        try:
+            req = urllib.request.Request(
+                url + "/synthesize_streaming",
+                data=json.dumps({"text": "Stream me please.",
+                                 "chunk_frames": 8}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as resp:
+                assert resp.status == 200
+                ctype = resp.headers.get("Content-Type")
+                assert ctype.startswith("audio/L16")
+                assert "rate=22050" in ctype
+                body = resp.read()   # reads until connection close
+            assert len(body) > 0 and len(body) % 2 == 0
+
+            # bad chunk_frames is a 400 before any audio
+            status, _, err = _post_path(url, "/synthesize_streaming",
+                                        {"text": "x", "chunk_frames": 1})
+            assert status == 400
+        finally:
+            httpd.shutdown()
+
+
+def _post_path(url, path, payload):
+    req = urllib.request.Request(
+        url + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            return resp.status, resp.headers.get("Content-Type"), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type"), e.read()
