@@ -54,16 +54,20 @@ from .vocode import vocode_mel
 _STREAM_CTX = 8
 
 
+def _pcm16(audio: np.ndarray) -> bytes:
+    """Float audio -> little-endian 16-bit PCM bytes."""
+    pcm = np.clip(audio, -1.0, 1.0)
+    return (pcm * 32767.0).astype("<i2").tobytes()
+
+
 def _wav_bytes(audio: np.ndarray, sr: int) -> bytes:
     """Encode float audio as 16-bit PCM WAV bytes."""
-    pcm = np.clip(audio, -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype(np.int16)
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sr)
-        w.writeframes(pcm.tobytes())
+        w.writeframes(_pcm16(audio))
     return buf.getvalue()
 
 
@@ -104,12 +108,14 @@ class TTSService:
         encoder pass + ``chunk_frames`` decode steps instead of the whole
         utterance.
 
-        Each chunk is vocoded with ``_STREAM_CTX`` frames of left context
-        from the previous chunk (trimmed from the audio) to suppress
-        boundary discontinuities in the chunk-local vocoder.  The device
-        lock is taken per chunk, so a long stream interleaves with other
-        requests (including a BatchingTTSService's batch worker) instead
-        of monopolizing the chip.
+        Streams POSTNET-REFINED mels (``apply_postnet=True``: same
+        spectral quality as /synthesize, at a fixed 10-frame ~116 ms
+        lookahead delay).  Each chunk is vocoded with ``_STREAM_CTX``
+        frames of left context from the previous chunk (trimmed from the
+        audio) to suppress boundary discontinuities in the chunk-local
+        vocoder.  The device lock is taken per chunk, so a long stream
+        interleaves with other requests (including a BatchingTTSService's
+        batch worker) instead of monopolizing the chip.
         """
         from .streaming import stream_mels
 
@@ -124,7 +130,8 @@ class TTSService:
             ctx: Optional[np.ndarray] = None
             mel_gen = stream_mels(self.params, self.model_state, text,
                                   self.cfg, chunk_frames=chunk_frames,
-                                  speaker_id=speaker_id)
+                                  speaker_id=speaker_id,
+                                  apply_postnet=True)
             hop = self.cfg.audio.hop_length
             while True:
                 with self._lock:
@@ -142,8 +149,7 @@ class TTSService:
                     if ctx is not None:
                         audio = audio[ctx.shape[0] * hop:]
                     ctx = mel[-_STREAM_CTX:]
-                pcm = np.clip(audio, -1.0, 1.0)
-                yield (pcm * 32767.0).astype("<i2").tobytes()
+                yield _pcm16(audio)
 
         return gen()
 
@@ -212,31 +218,48 @@ class BatchingTTSService(TTSService):
         self._batched_requests = 0
         self._max_batch_observed = 0
         self._closed = False
+        # Serializes the closed-check+enqueue against close(): no request
+        # can slip into the queue after the shutdown sentinel.
+        self._close_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="tts-batch-worker")
         self._worker.start()
 
     def synthesize(self, text: str, vocoder: str = "griffinlim",
                    speaker_id=None) -> bytes:
-        if self._closed:
-            raise RuntimeError("service is closed")
         # Validate per-request inputs HERE (the request thread) so a bad
         # request 400s on its own instead of poisoning a batch.
         make_speaker_ids(speaker_id, 1, self.cfg.model)
         item = _Pending(text, vocoder, speaker_id)
-        self._queue.put(item)
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            self._queue.put(item)
         item.done.wait()
         if item.error is not None:
             raise item.error
-        assert item.wav is not None
+        if item.wav is None:  # pragma: no cover - _process guarantees one
+            raise RuntimeError("request completed without a result")
         return item.wav
 
     def close(self) -> None:
         """Stop the worker (pending requests finish first)."""
-        if not self._closed:
+        with self._close_lock:
+            if self._closed:
+                return
             self._closed = True
             self._queue.put(None)
-            self._worker.join(timeout=60)
+        self._worker.join(timeout=60)
+        # Safety net: never strand a waiter (the close lock means nothing
+        # can be enqueued after the sentinel, so this should be empty).
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:  # pragma: no cover
+                item.error = RuntimeError("service is closed")
+                item.done.set()
 
     def _collect(self, first: _Pending) -> list:
         batch = [first]
@@ -269,16 +292,34 @@ class BatchingTTSService(TTSService):
                                                len(batch))
                 try:
                     self._process(batch)
-                except Exception:  # pragma: no cover - defensive backstop
-                    pass
+                except Exception as e:  # pragma: no cover - backstop
+                    for item in batch:
+                        if item.error is None and item.wav is None:
+                            item.error = e
             for item in batch:
                 item.done.set()
 
+    def _bucket_size(self, n: int) -> int:
+        """Next power-of-two batch bucket (capped at max_batch), so the
+        decode program compiles for O(log max_batch) batch sizes instead
+        of one per observed batch size."""
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, self.max_batch)
+
     def _process(self, batch: list) -> None:
+        n = len(batch)
+        b = self._bucket_size(n)
+        # Pad to the bucket by repeating the last request (a real text, so
+        # padding rows gate-stop normally under stop_mode='all'); results
+        # beyond n are discarded.
+        texts = [r.text for r in batch] + [batch[-1].text] * (b - n)
+        spk = ([r.speaker_id for r in batch]
+               + [batch[-1].speaker_id] * (b - n))
         try:
-            mels, _ = synthesize_mels(
-                self.params, self.model_state, [r.text for r in batch],
-                self.cfg, speaker_id=[r.speaker_id for r in batch])
+            mels, _ = synthesize_mels(self.params, self.model_state, texts,
+                                      self.cfg, speaker_id=spk)
         except Exception:
             # Batch-level failure: isolate it — retry each item alone so
             # only the offending request errors.
@@ -288,7 +329,7 @@ class BatchingTTSService(TTSService):
                 except Exception as e:
                     item.error = e
             return
-        for item, mel in zip(batch, mels):
+        for item, mel in zip(batch, mels[:n]):
             try:
                 item.wav = self._vocode_to_wav(mel, item.vocoder)
             except Exception as e:

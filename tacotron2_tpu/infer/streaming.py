@@ -66,21 +66,107 @@ def _decode_chunk(params, cfg: ModelConfig, carry: DecoderCarry,
                                                                    0, 1)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _postnet_window(params, model_state, cfg: ModelConfig,
+                    mel_tn: jnp.ndarray) -> jnp.ndarray:
+    """Postnet over one (T, n_mels) window -> refined (T, n_mels)."""
+    from ..models.postnet import postnet_apply
+    x = mel_tn.T[None]                                  # (1, n_mels, T)
+    residual, _ = postnet_apply(params["postnet"], model_state["postnet"],
+                                x, cfg, jnp.zeros((2,), jnp.uint32),
+                                train=False)
+    return (x + residual)[0].T
+
+
+def _refine_stream(params, model_state, mcfg: ModelConfig, coarse_gen,
+                   chunk_frames: int) -> Generator[np.ndarray, None, None]:
+    """Apply the postnet to a coarse-mel chunk stream EXACTLY, with an
+    ``r``-frame lookahead delay.
+
+    The postnet is a non-causal conv stack with receptive radius
+    ``r = n_layers * (kernel-1)/2`` (10 frames at reference dims): a
+    frame's refinement needs r future coarse frames.  The stream holds
+    back the last r frames of each chunk and refines every emitted frame
+    with full left+right coarse context, so the concatenated output is
+    bit-comparable to offline postnet application.
+
+    Mid-stream windows are padded to ONE static shape (the emit region
+    never sees the padding: its receptive cone stays inside the real
+    frames), so one extra XLA program serves the stream's steady state.
+    The FLUSH window's tail frames do see past the end, where offline
+    semantics depend on how the stream ended: a gate stop leaves real
+    zero frames in the offline buffer (zero padding reproduces them,
+    phantom BatchNorm activations and all), while hitting the step cap
+    means the offline conv SAME-pads each LAYER at the boundary — only an
+    unpadded window reproduces that, so cap flushes run the window at its
+    exact length (a rare per-length compile, only for utterances that hit
+    the cap).
+    """
+    n_mels = mcfg.n_mels
+    r = mcfg.postnet_n_convolutions * ((mcfg.postnet_kernel_size - 1) // 2)
+    bufmax = 2 * r + chunk_frames
+    left = np.zeros((0, n_mels), np.float32)      # emitted coarse tail
+    pending = np.zeros((0, n_mels), np.float32)   # lookahead hold-back
+
+    def refine(buf: np.ndarray, lo: int, hi: int,
+               pad: bool = True) -> np.ndarray:
+        t = buf.shape[0]
+        if pad and t < bufmax:
+            buf = np.concatenate(
+                [buf, np.zeros((bufmax - t, n_mels), np.float32)])
+        out = np.asarray(_postnet_window(params, model_state, mcfg,
+                                         jnp.asarray(buf)))
+        return out[lo:hi]
+
+    end_reason = "cap"
+    gen = iter(coarse_gen)
+    while True:
+        try:
+            chunk = next(gen)
+        except StopIteration as stop:
+            end_reason = stop.value or "cap"
+            break
+        body = np.concatenate([pending, np.asarray(chunk, np.float32)])
+        emit = body.shape[0] - r
+        if emit <= 0:
+            pending = body
+            continue
+        buf = np.concatenate([left, body])
+        yield refine(buf, left.shape[0], left.shape[0] + emit)
+        hist = buf[: left.shape[0] + emit]
+        left = hist[-r:]
+        pending = body[emit:]
+    if pending.shape[0]:
+        buf = np.concatenate([left, pending])
+        yield refine(buf, left.shape[0], buf.shape[0],
+                     pad=(end_reason == "gate"))
+
+
 def stream_mels(params, model_state, text: str,
                 cfg: Optional[Config] = None, chunk_frames: int = 64,
                 max_steps: Optional[int] = None,
                 gate_threshold: Optional[float] = None,
                 drop_first_frame: bool = True,
-                speaker_id: Optional[int] = None
+                speaker_id: Optional[int] = None,
+                apply_postnet: bool = False
                 ) -> Generator[np.ndarray, None, None]:
-    """Generator of coarse-mel chunks ((<=chunk_frames, n_mels) each) for
-    one utterance, ending at the gate firing or the step cap.
+    """Generator of mel chunks ((<=chunk_frames, n_mels) each) for one
+    utterance, ending at the gate firing or the step cap.
 
-    Streams the decoder's coarse mels (the postnet is a non-causal conv
-    over the whole utterance; callers wanting postnet refinement apply it
-    to the concatenated stream afterwards).
+    By default streams the decoder's coarse mels.  ``apply_postnet=True``
+    streams postnet-refined mels instead, at the cost of a fixed
+    10-frame (~116 ms of audio) lookahead delay — the refined stream
+    concatenates to exactly the offline postnet output (see
+    :func:`_refine_stream`).
     """
     cfg = cfg or Config()
+    if apply_postnet:
+        coarse = stream_mels(params, model_state, text, cfg, chunk_frames,
+                             max_steps, gate_threshold, drop_first_frame,
+                             speaker_id, apply_postnet=False)
+        yield from _refine_stream(params, model_state, cfg.model, coarse,
+                                  chunk_frames)
+        return
     mcfg = cfg.model
     max_steps = mcfg.max_decoder_steps if max_steps is None else max_steps
     thr = mcfg.gate_threshold if gate_threshold is None else gate_threshold
@@ -122,7 +208,8 @@ def stream_mels(params, model_state, text: str,
             end = int(fired[0]) + 1
             if end:
                 yield mels_np[:end]
-            return
+            return "gate"   # generator return value: why the stream ended
         produced += k
         if k:
             yield mels_np
+    return "cap"

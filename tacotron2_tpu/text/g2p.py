@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
+from .homographs import disambiguate
 from .lexicon import load_lexicon
 
 # Ordered LTS rules: longest-match-first grapheme chunks -> phonemes.
@@ -241,7 +242,6 @@ class G2p:
                              prev: Optional[str] = None) -> Sequence[str]:
         word = word.lower()
         if self._homographs:
-            from .homographs import disambiguate
             hit = disambiguate(word, prev.lower() if prev else None)
             if hit is not None:
                 return hit

@@ -41,36 +41,35 @@ def _open_maybe_gzip(path: str):
     return open(path, "r", encoding="latin-1")
 
 
+def _parse_line(line: str) -> Optional[Tuple[str, Tuple[str, ...]]]:
+    """One CMUdict line -> (lowercase word, phoneme tuple), or None for
+    comments/blank/malformed lines.  Handles both the NLTK variant-number
+    column (``WORD 1 PH ...``) and the upstream ``WORD(2) PH ...`` form."""
+    line = line.strip()
+    if not line or line.startswith(";;;"):
+        return None
+    parts = line.split()
+    if len(parts) < 2:
+        return None
+    word = parts[0]
+    rest = parts[1:]
+    if rest and rest[0].isdigit() and len(rest) > 1:
+        phones = rest[1:]              # NLTK format: WORD <n> PH ...
+    else:
+        m = _VARIANT_PAREN.match(word)
+        if m:                          # upstream format: WORD(2) PH ...
+            word = m.group(1)
+        phones = rest
+    return word.lower(), tuple(phones)
+
+
 def parse_cmudict(path: str) -> Dict[str, Tuple[str, ...]]:
     """Parse a CMUdict-format file into ``{lowercase word: phoneme tuple}``.
 
     Keeps only the first variant per word (g2p_en uses cmudict()[word][0]).
     """
-    lex: Dict[str, Tuple[str, ...]] = {}
-    with _open_maybe_gzip(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line or line.startswith(";;;"):
-                continue
-            parts = line.split()
-            if len(parts) < 2:
-                continue
-            word = parts[0]
-            rest = parts[1:]
-            # NLTK format has a variant-number column: WORD 1 PH ...
-            if rest and rest[0].isdigit() and len(rest) > 1:
-                phones = rest[1:]          # NLTK format: WORD <n> PH ...
-            else:
-                m = _VARIANT_PAREN.match(word)
-                if m:                       # upstream format: WORD(2) PH ...
-                    word = m.group(1)
-                phones = rest
-            key = word.lower()
-            # First entry wins: cmudict files list variant 1 first, which
-            # is the variant g2p_en uses (cmudict()[word][0]).
-            if key not in lex:
-                lex[key] = tuple(phones)
-    return lex
+    return {word: variants[0]
+            for word, variants in parse_cmudict_variants(path).items()}
 
 
 def find_lexicon_path(explicit: Optional[str] = None,
@@ -90,27 +89,14 @@ def find_lexicon_path(explicit: Optional[str] = None,
 
 def parse_cmudict_variants(path: str) -> Dict[str, List[Tuple[str, ...]]]:
     """Like :func:`parse_cmudict` but keeps EVERY pronunciation variant,
-    in file order.  Used to validate the curated homograph table
-    (text/homographs.py) against the lexicon."""
+    in file order (variant 1 first).  Used to validate the curated
+    homograph table (text/homographs.py) against the lexicon."""
     lex: Dict[str, List[Tuple[str, ...]]] = {}
     with _open_maybe_gzip(path) as f:
         for line in f:
-            line = line.strip()
-            if not line or line.startswith(";;;"):
-                continue
-            parts = line.split()
-            if len(parts) < 2:
-                continue
-            word = parts[0]
-            rest = parts[1:]
-            if rest and rest[0].isdigit() and len(rest) > 1:
-                phones = rest[1:]
-            else:
-                m = _VARIANT_PAREN.match(word)
-                if m:
-                    word = m.group(1)
-                phones = rest
-            lex.setdefault(word.lower(), []).append(tuple(phones))
+            parsed = _parse_line(line)
+            if parsed is not None:
+                lex.setdefault(parsed[0], []).append(parsed[1])
     return lex
 
 

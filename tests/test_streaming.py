@@ -57,3 +57,60 @@ class TestStreaming:
                                   chunk_frames=8, max_steps=30))
         total = sum(c.shape[0] for c in chunks)
         assert total == 2  # gate fires as soon as >1 frames are out
+
+    def test_postnet_stream_matches_offline_postnet(self):
+        """apply_postnet=True: the lookahead-refined stream concatenates
+        to exactly the offline postnet output (offline pads the coarse
+        buffer with zeros past the gate stop; the stream's flush
+        reproduces that via conv SAME zero padding)."""
+        params, state = tacotron2_init(jax.random.PRNGKey(0), SMALL.model)
+        text = "Postnet streaming parity."
+
+        chunks = list(stream_mels(params, state, text, SMALL,
+                                  chunk_frames=7, max_steps=30,
+                                  apply_postnet=True))
+        streamed = np.concatenate(chunks, axis=0)
+
+        seq = text_to_sequence(text)
+        tokens, lengths = pad_sequences([seq], pad_multiple=16)
+        out, n, _ = tacotron2_infer(
+            params, state, SMALL.model, jnp.asarray(tokens), max_steps=30,
+            text_lengths=jnp.asarray(lengths))
+        mono = np.asarray(out.mel_postnet)[0, :int(n)]
+
+        assert streamed.shape == mono.shape
+        np.testing.assert_allclose(streamed, mono, atol=1e-4)
+
+    def test_postnet_stream_chunk_sizes_agree(self):
+        params, state = tacotron2_init(jax.random.PRNGKey(1), SMALL.model)
+        a = np.concatenate(list(stream_mels(
+            params, state, "Hello world.", SMALL, chunk_frames=4,
+            max_steps=20, apply_postnet=True)))
+        b = np.concatenate(list(stream_mels(
+            params, state, "Hello world.", SMALL, chunk_frames=16,
+            max_steps=20, apply_postnet=True)))
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_postnet_stream_gate_stop_parity(self):
+        """Gate-ended streams exercise the other flush branch (offline
+        buffer holds real zero frames past the stop)."""
+        params, state = tacotron2_init(jax.random.PRNGKey(0), SMALL.model)
+        params = jax.tree_util.tree_map(lambda x: x, params)
+        params["decoder"] = dict(params["decoder"])
+        params["decoder"]["gate"] = dict(params["decoder"]["gate"])
+        params["decoder"]["gate"]["b"] = jnp.full_like(
+            params["decoder"]["gate"]["b"], 10.0)
+
+        chunks = list(stream_mels(params, state, "Short.", SMALL,
+                                  chunk_frames=8, max_steps=30,
+                                  apply_postnet=True))
+        streamed = np.concatenate(chunks, axis=0)
+
+        seq = text_to_sequence("Short.")
+        tokens, lengths = pad_sequences([seq], pad_multiple=16)
+        out, n, _ = tacotron2_infer(
+            params, state, SMALL.model, jnp.asarray(tokens), max_steps=30,
+            text_lengths=jnp.asarray(lengths))
+        mono = np.asarray(out.mel_postnet)[0, :int(n)]
+        assert streamed.shape == mono.shape == (2, 80)
+        np.testing.assert_allclose(streamed, mono, atol=1e-4)
