@@ -113,14 +113,14 @@ def attention_step(params: Dict[str, Any], query: jnp.ndarray,
         qsum = qsum.astype(params["v"]["w"].dtype)
         if mask is None:
             mask = jnp.zeros(qsum.shape[:2], bool)
-        # Stream memory into the kernel in the policy's compute dtype too:
-        # it is the kernel's dominant HBM read (B, T_enc, 512) EVERY
-        # decode step, and the cast is loop-invariant (hoisted out of the
-        # scan).  fp32 mode: no-op, exact parity preserved.
+        # ``memory`` is passed fp32 even under the bf16 policy (the kernel
+        # downcasts it internally, forward-only): the custom-VJP boundary
+        # keeps fp32 primals so ``d_memory`` — the encoder's entire
+        # gradient signal, summed over every decode step — never rounds
+        # through bf16.
         attn, context = attention_tail(
             qsum, params["v"]["w"][:, 0], params["v"]["b"][0],
-            params["energy_scale"], mask,
-            memory.astype(params["v"]["w"].dtype))
+            params["energy_scale"], mask, memory)
     else:
         energies = attention_energies(params, query, processed_memory,
                                       att_state, mask)

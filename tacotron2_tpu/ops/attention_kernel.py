@@ -87,12 +87,24 @@ def attention_tail_pallas(qsum: jnp.ndarray, v_w: jnp.ndarray,
     """Fused Pallas path; same signature/semantics as the reference impl."""
     b, t, a = qsum.shape
     d = memory.shape[-1]
-    # 8 batch items per grid program; pad the batch to a block multiple
-    # (padded rows compute a harmless uniform softmax and are sliced
-    # off).  Measured on v5e at (B=64, T=128, D=512): blk=1 47.9 µs/call,
-    # blk=8 34.0 µs, blk=16 equal to 8, blk=32 exceeds the 16 MB scoped
-    # VMEM limit.
-    blk = min(8, b)
+    # Stream ``memory`` (the kernel's dominant HBM read — (B, T, 512)
+    # every decode step) in the compute dtype of ``qsum``: under the bf16
+    # policy that halves the traffic, and the cast is loop-invariant so
+    # XLA's while-loop LICM hoists it out of the decoder scan.  Done HERE,
+    # inside the custom-VJP primal, so it is forward-only: the gradient
+    # d_memory stays in the caller's (fp32) dtype.
+    memory = memory.astype(qsum.dtype)
+    # Up to 8 batch items per grid program (grid overhead, not math,
+    # dominates this tiny-op chain).  Measured on v5e at (B=64, T=128,
+    # D=512): blk=1 47.9 µs/call, blk=8 34.0 µs, blk=16 equal to 8,
+    # blk=32 exceeds the 16 MB scoped VMEM limit.  Prefer the largest
+    # divisor of B <= 8 so no batch padding is needed; only when B has no
+    # divisor >= 4 (odd/prime B > 8 — rare) pad the batch to a multiple
+    # of 8.  Padding costs a per-decode-step copy of ``qsum`` (it changes
+    # every step, so the pad cannot be hoisted); padded rows compute a
+    # harmless uniform softmax and are sliced off.
+    blk = b if b < 4 else next((c for c in (8, 7, 6, 5, 4)
+                                if b % c == 0), 8)
     b_pad = -(-b // blk) * blk
     if b_pad != b:
         pad = [(0, b_pad - b)] + [(0, 0)] * (qsum.ndim - 1)

@@ -11,6 +11,8 @@ import jax
 from tacotron2_tpu.ops.attention_kernel import (attention_tail,
                                                 attention_tail_pallas,
                                                 attention_tail_reference)
+from tacotron2_tpu.ops.convbn_kernel import (conv_bn_act_pallas,
+                                             conv_bn_act_reference)
 
 
 class TestAttentionTailKernel:
@@ -42,13 +44,41 @@ class TestAttentionTailKernel:
         np.testing.assert_allclose(np.asarray(attn).sum(-1), 1.0, atol=1e-5)
 
     def test_uneven_batch_blocks(self):
-        args = self._inputs(b=6)  # not a multiple of block_b=8
-        attn_ref, ctx_ref = attention_tail_reference(*args)
-        attn, ctx = attention_tail_pallas(*args)
-        np.testing.assert_allclose(np.asarray(attn), np.asarray(attn_ref),
-                                   atol=1e-5)
-        np.testing.assert_allclose(np.asarray(ctx), np.asarray(ctx_ref),
-                                   atol=1e-4)
+        # b=6: whole-batch block (b < 8).  b=12: divisor path (blk=6, no
+        # padding).  b=13: no divisor >= 4 -> pads the batch to 16 and
+        # slices the padded softmax rows back off.  b=3: b < 4 edge.
+        for b in (6, 12, 13, 3):
+            args = self._inputs(b=b)
+            attn_ref, ctx_ref = attention_tail_reference(*args)
+            attn, ctx = attention_tail_pallas(*args)
+            assert attn.shape == (b, args[0].shape[1])
+            np.testing.assert_allclose(np.asarray(attn),
+                                       np.asarray(attn_ref), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(ctx), np.asarray(ctx_ref),
+                                       atol=1e-4)
+
+    def test_bf16_qsum_keeps_fp32_memory_grad(self):
+        # Under the bf16 policy the caller casts qsum down but passes
+        # memory fp32; the kernel downcasts memory internally
+        # (forward-only) and d_memory must come back fp32.
+        qsum, v_w, v_b, scale, mask, memory = self._inputs(b=4, t=64, d=128)
+        qsum = qsum.astype(jnp.bfloat16)
+
+        def loss(memory):
+            attn, ctx = attention_tail(qsum, v_w, v_b, scale, mask, memory)
+            return jnp.sum(jnp.tanh(ctx))
+
+        g = jax.grad(loss)(memory)
+        assert g.dtype == jnp.float32
+
+        def loss_ref(memory):
+            attn, ctx = attention_tail_reference(
+                qsum.astype(jnp.float32), v_w, v_b, scale, mask, memory)
+            return jnp.sum(jnp.tanh(ctx))
+
+        g_ref = jax.grad(loss_ref)(memory)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                                   atol=2e-2, rtol=2e-2)
 
     def test_custom_vjp_matches_reference_grads(self):
         qsum, v_w, v_b, scale, mask, memory = self._inputs(b=4, t=64, d=128)
@@ -69,3 +99,75 @@ class TestAttentionTailKernel:
         for a, b in zip(g_fused, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4)
+
+
+class TestConvBnActKernel:
+    """Fused eval-mode conv+BN+activation (SURVEY 2.2: encoder/postnet
+    conv stacks) vs the unfused conv1d_apply + batchnorm_apply chain."""
+
+    def _layer(self, c_in, c_out, k=5, seed=0):
+        from tacotron2_tpu.models.layers import batchnorm_init, conv1d_init
+        key = jax.random.PRNGKey(seed)
+        conv_p = conv1d_init(key, c_in, c_out, k)
+        bn_p, bn_s = batchnorm_init(c_out)
+        rng = np.random.default_rng(seed)
+        # Non-trivial running stats so the fold actually does something.
+        bn_s = {"mean": jnp.asarray(rng.standard_normal(c_out)
+                                    .astype(np.float32) * 0.5),
+                "var": jnp.asarray(
+                    rng.uniform(0.5, 2.0, c_out).astype(np.float32))}
+        bn_p = {"scale": jnp.asarray(rng.uniform(0.5, 1.5, c_out)
+                                     .astype(np.float32)),
+                "bias": jnp.asarray(rng.standard_normal(c_out)
+                                    .astype(np.float32) * 0.1)}
+        return conv_p, bn_p, bn_s
+
+    def test_matches_unfused_all_acts(self):
+        for act in ("relu", "tanh", "none"):
+            conv_p, bn_p, bn_s = self._layer(512, 512)
+            x = jnp.asarray(np.random.default_rng(1)
+                            .standard_normal((2, 512, 64)).astype(np.float32))
+            ref = conv_bn_act_reference(x, conv_p, bn_p, bn_s, 1e-5, act)
+            out = conv_bn_act_pallas(x, conv_p, bn_p, bn_s, eps=1e-5, act=act)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-4, rtol=2e-4)
+
+    def test_postnet_edge_channels(self):
+        # First (80 -> 512) and last (512 -> 80) postnet layers: channel
+        # counts that are not MXU-tile multiples.
+        for c_in, c_out, act in ((80, 512, "tanh"), (512, 80, "none")):
+            conv_p, bn_p, bn_s = self._layer(c_in, c_out, seed=2)
+            x = jnp.asarray(np.random.default_rng(3)
+                            .standard_normal((3, c_in, 100))
+                            .astype(np.float32))
+            ref = conv_bn_act_reference(x, conv_p, bn_p, bn_s, 1e-5, act)
+            out = conv_bn_act_pallas(x, conv_p, bn_p, bn_s, eps=1e-5, act=act)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-4, rtol=2e-4)
+
+    def test_encoder_postnet_flag_parity(self, monkeypatch):
+        # Whole-stack parity: eval-mode encoder/postnet with the fused
+        # kernel enabled must match the default XLA path.
+        from tacotron2_tpu.config import ModelConfig
+        from tacotron2_tpu.models.encoder import encoder_apply, encoder_init
+        from tacotron2_tpu.models.postnet import postnet_apply, postnet_init
+        cfg = ModelConfig()
+        key = jax.random.PRNGKey(0)
+        enc_p, enc_s = encoder_init(key, cfg)
+        post_p, post_s = postnet_init(key, cfg)
+        tokens = jnp.asarray(np.random.default_rng(0)
+                             .integers(1, cfg.n_symbols, (2, 32)), jnp.int32)
+        mel = jnp.asarray(np.random.default_rng(1)
+                          .standard_normal((2, cfg.n_mels, 48))
+                          .astype(np.float32))
+        monkeypatch.delenv("TACOTRON2_FUSED_CONVBN", raising=False)
+        mem_ref, _ = encoder_apply(enc_p, enc_s, tokens, cfg, train=False)
+        res_ref, _ = postnet_apply(post_p, post_s, mel, cfg, None,
+                                   train=False)
+        monkeypatch.setenv("TACOTRON2_FUSED_CONVBN", "1")
+        mem, _ = encoder_apply(enc_p, enc_s, tokens, cfg, train=False)
+        res, _ = postnet_apply(post_p, post_s, mel, cfg, None, train=False)
+        np.testing.assert_allclose(np.asarray(mem), np.asarray(mem_ref),
+                                   atol=5e-4, rtol=5e-4)
+        np.testing.assert_allclose(np.asarray(res), np.asarray(res_ref),
+                                   atol=5e-4, rtol=5e-4)
