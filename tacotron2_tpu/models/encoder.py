@@ -52,7 +52,14 @@ def encoder_apply(params: Dict[str, Any], state: Dict[str, Any],
     x = embedding_apply(params["embedding"], tokens)      # (B, T, D)
     x = jnp.swapaxes(x, 1, 2)                             # (B, D, T) for conv
     new_bn = []
+    from ..ops.convbn_kernel import conv_bn_act_pallas, fused_convbn_enabled
+    fused_eval = not train and fused_convbn_enabled()
     for conv_p, bn_p, bn_s in zip(params["convs"], params["bn"], state["bn"]):
+        if fused_eval:
+            x = conv_bn_act_pallas(conv_p=conv_p, bn_p=bn_p, bn_s=bn_s, x=x,
+                                   eps=cfg.batchnorm_eps, act="relu")
+            new_bn.append(bn_s)
+            continue
         x = conv1d_apply(conv_p, x, padding="same")
         x, bn_s2 = batchnorm_apply(bn_p, bn_s, x, train,
                                    momentum=cfg.batchnorm_momentum,

@@ -39,8 +39,16 @@ def postnet_apply(params: Dict[str, Any], state: Dict[str, Any],
     """x: (B, n_mels, T) coarse mel -> (residual (B, n_mels, T), new_state)."""
     n = len(params["convs"])
     new_bn = []
+    from ..ops.convbn_kernel import conv_bn_act_pallas, fused_convbn_enabled
+    fused_eval = not train and fused_convbn_enabled()
     for i, (conv_p, bn_p, bn_s) in enumerate(
             zip(params["convs"], params["bn"], state["bn"])):
+        if fused_eval:
+            x = conv_bn_act_pallas(conv_p=conv_p, bn_p=bn_p, bn_s=bn_s, x=x,
+                                   eps=cfg.batchnorm_eps,
+                                   act="tanh" if i < n - 1 else "none")
+            new_bn.append(bn_s)
+            continue
         x = conv1d_apply(conv_p, x, padding="same")
         x, bn_s2 = batchnorm_apply(bn_p, bn_s, x, train,
                                    momentum=cfg.batchnorm_momentum,
