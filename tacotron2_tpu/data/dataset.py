@@ -175,6 +175,14 @@ class BatchLoader:
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = process_count
+        if drop_last and len(dataset) < batch_size * process_count:
+            # Fail fast: with drop_last every epoch would yield ZERO
+            # batches — training would "complete" having done nothing.
+            raise ValueError(
+                f"dataset has {len(dataset)} examples but the global "
+                f"batch is {batch_size * process_count} (batch_size "
+                f"{batch_size} x {process_count} processes) with "
+                f"drop_last: every epoch would yield zero batches")
         self._rng = np.random.default_rng(seed)
 
     @property

@@ -257,9 +257,16 @@ class BatchingTTSService(TTSService):
                 item = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if item is not None:  # pragma: no cover
-                item.error = RuntimeError("service is closed")
-                item.done.set()
+            if item is None:  # pragma: no cover
+                if self._worker.is_alive():
+                    # join() timed out mid-batch: the worker still needs
+                    # the sentinel to exit — put it back, leave the rest
+                    # of the queue for the worker to finish.
+                    self._queue.put(None)
+                    break
+                continue
+            item.error = RuntimeError("service is closed")  # pragma: no cover
+            item.done.set()
 
     def _collect(self, first: _Pending) -> list:
         batch = [first]
@@ -357,11 +364,15 @@ def make_handler(service: TTSService):
 
         def _json(self, code: int, obj) -> None:
             body = json.dumps(obj).encode()
-            self.send_response(code)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            try:
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except (BrokenPipeError, ConnectionResetError):
+                # client hung up before the error/info could be written
+                self.close_connection = True
 
         def do_GET(self):
             if self.path == "/healthz":
@@ -432,15 +443,22 @@ def make_handler(service: TTSService):
                 self._json(503, {"error": str(e)})
                 return
             except (BrokenPipeError, ConnectionResetError):
-                return  # client hung up mid-stream
+                # client hung up while the streaming headers were being
+                # written (the synthesize path writes nothing in the try)
+                self.close_connection = True
+                return
             except Exception as e:  # pragma: no cover
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
-            self.send_response(200)
-            self.send_header("Content-Type", "audio/wav")
-            self.send_header("Content-Length", str(len(wav)))
-            self.end_headers()
-            self.wfile.write(wav)
+            try:
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(wav)))
+                self.end_headers()
+                self.wfile.write(wav)
+            except (BrokenPipeError, ConnectionResetError):
+                # client hung up before/while the response was written
+                self.close_connection = True
 
     return Handler
 

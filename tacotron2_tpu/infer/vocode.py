@@ -51,26 +51,25 @@ def vocode_mel(mel: np.ndarray, cfg: AudioConfig,
     return audio[: t_true * cfg.hop_length]
 
 
-def try_load_hifigan(checkpoint_path: Optional[str] = None):
-    """Load the HiFi-GAN vocoder, returning None (with a message) on ANY
-    failure — missing checkpoint, missing torch, wrong layout — so callers
-    fall back to Griffin-Lim instead of crashing."""
+def _try_load(loader_name: str, checkpoint_path: Optional[str]):
+    """Run a ``models.hifigan`` loader, returning None (with a message) on
+    ANY failure — missing checkpoint, missing torch, wrong layout — so
+    callers fall back to Griffin-Lim instead of crashing."""
     try:
-        from ..models.hifigan import load_hifigan_vocoder
-        return load_hifigan_vocoder(checkpoint_path)
+        from ..models import hifigan
+        return getattr(hifigan, loader_name)(checkpoint_path)
     except Exception as e:
         print(f"HiFi-GAN unavailable ({type(e).__name__}: {e}); "
               f"falling back to Griffin-Lim.")
         return None
+
+
+def try_load_hifigan(checkpoint_path: Optional[str] = None):
+    """HiFi-GAN vocoder callable, or None on any failure (see _try_load)."""
+    return _try_load("load_hifigan_vocoder", checkpoint_path)
 
 
 def try_load_hifigan_params(checkpoint_path: Optional[str] = None):
-    """Like :func:`try_load_hifigan` but returns the raw params pytree (for
-    the fused single-dispatch synthesis program) or None on any failure."""
-    try:
-        from ..models.hifigan import load_hifigan_params
-        return load_hifigan_params(checkpoint_path)
-    except Exception as e:
-        print(f"HiFi-GAN unavailable ({type(e).__name__}: {e}); "
-              f"falling back to Griffin-Lim.")
-        return None
+    """Raw HiFi-GAN params pytree (for the fused single-dispatch synthesis
+    program), or None on any failure (see _try_load)."""
+    return _try_load("load_hifigan_params", checkpoint_path)

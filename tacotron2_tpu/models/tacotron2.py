@@ -85,6 +85,9 @@ def init_projection_bias(params: Dict[str, Any],
     return new
 
 
+_warned_default_speaker = False
+
+
 def make_speaker_ids(speaker_id, batch: int,
                      cfg: ModelConfig) -> Optional[jnp.ndarray]:
     """Validated (B,) speaker-id array for inference helpers.
@@ -114,8 +117,14 @@ def make_speaker_ids(speaker_id, batch: int,
                     f"single-speaker (n_speakers={cfg.n_speakers})")
         return None
     if any(sid is None for sid in per_item):
-        print("[speaker] multi-speaker model, no speaker_id given: "
-              "using speaker 0")
+        # Notice once per process: this runs on serving hot paths (twice
+        # per request through the batching service), so an unconditional
+        # print would flood the log with duplicates.
+        global _warned_default_speaker
+        if not _warned_default_speaker:
+            _warned_default_speaker = True
+            print("[speaker] multi-speaker model, no speaker_id given: "
+                  "using speaker 0 (notice printed once)")
     ids = []
     for sid in per_item:
         sid = 0 if sid is None else int(sid)

@@ -82,8 +82,10 @@ HOMOGRAPHS: Dict[str, Homograph] = {
     "abuse":     _h("AH0 B Y UW1 Z", "AH0 B Y UW1 S"),
     "refuse":    _h("R AH0 F Y UW1 Z", "R EH1 F Y UW2 Z", default="verb"),
     # stress-shift noun/verb pairs
-    "record":    _h("R AH0 K AO1 R D", "R EH1 K ER0 D"),     # noun default
-    "records":   _h("R AH0 K AO1 R D Z", "R EH1 K ER0 D Z"), # noun default
+    "record":    _h("R AH0 K AO1 R D", "R EH1 K ER0 D"),
+    "records":   _h("R AH0 K AO1 R D Z", "R EH1 K ER0 D Z"),
+    #   record/records default overridden: CMUdict lists the verb
+    #   /R AH0 K AO1 R D/ first, but the noun dominates usage
     "present":   _h("P R IY0 Z EH1 N T", "P R EH1 Z AH0 N T"),
     "presents":  _h("P R IY0 Z EH1 N T S", "P R EH1 Z AH0 N T S"),
     "produce":   _h("P R AH0 D UW1 S", "P R OW1 D UW0 S", default="verb"),
@@ -92,6 +94,8 @@ HOMOGRAPHS: Dict[str, Homograph] = {
     "object":    _h("AH0 B JH EH1 K T", "AA1 B JH EH0 K T"),
     "objects":   _h("AH0 B JH EH1 K T S", "AA1 B JH EH0 K T S"),
     "subject":   _h("S AH0 B JH EH1 K T", "S AH1 B JH IH0 K T"),
+    #   subject default overridden: CMUdict lists the verb
+    #   /S AH0 B JH EH1 K T/ first, but the noun dominates usage
     "permit":    _h("P ER0 M IH1 T", "P ER1 M IH2 T", default="verb"),
     "permits":   _h("P ER0 M IH1 T S", "P ER1 M IH2 T S", default="verb"),
     "conduct":   _h("K AH0 N D AH1 K T", "K AA1 N D AH0 K T",

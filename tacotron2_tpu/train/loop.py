@@ -36,7 +36,6 @@ from ..data import BatchLoader, TextMelDataset, collate
 from ..dsp.wav import save_wav
 from ..models import init_projection_bias, tacotron2_infer_jit
 from ..text import sequence_to_text
-from ..utils.diagnostics import attention_entropy
 from ..utils.logging import TrainingLogger
 from ..utils.profiling import StepTimer
 from ..utils.plotting import save_alignment_plot
@@ -73,12 +72,13 @@ def validate(state: TrainState, loader: BatchLoader, cfg: Config,
     for batch in loader:
         if place is not None:
             batch = place(batch)
-        losses, aligns = eval_step(state, batch, cfg=cfg,
-                                   sigma_warmup_steps=sigma_warmup_steps)
-        aligns = _host_local(aligns)
+        losses, _, entropy = eval_step(state, batch, cfg=cfg,
+                                       sigma_warmup_steps=sigma_warmup_steps)
         total_mel += float(losses.mel)
         total_gate += float(losses.gate)
-        total_ent += attention_entropy(aligns)
+        # In-graph entropy: a GLOBAL batch mean under multi-host GSPMD,
+        # consistent with the mel/gate means next to it.
+        total_ent += float(entropy)
         count += 1
     if count == 0:
         return {"mel": float("nan"), "gate": float("nan"), "entropy": 0.0,

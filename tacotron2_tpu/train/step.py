@@ -149,9 +149,12 @@ def train_step_accum(state: TrainState, batch: Dict[str, jnp.ndarray], *,
 @functools.partial(jax.jit, static_argnames=("cfg", "sigma_warmup_steps"))
 def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
               cfg: Config, sigma_warmup_steps: int
-              ) -> Tuple[LossOutput, jnp.ndarray]:
+              ) -> Tuple[LossOutput, jnp.ndarray, jnp.ndarray]:
     """Teacher-forced validation pass (eval mode: running BN stats, no
-    dropout; reference: train.py:252-277).  Returns (losses, alignments)."""
+    dropout; reference: train.py:252-277).  Returns (losses, alignments,
+    mean attention entropy).  The entropy is computed IN-graph so that
+    under multi-host GSPMD it is the global-batch mean (host-side numpy
+    would only see the local shard), consistent with the loss means."""
     dummy_rng = jnp.zeros((2,), jnp.uint32)
     out, _ = tacotron2_forward(
         state.params, state.model_state, cfg.model, batch["text"],
@@ -162,4 +165,6 @@ def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
         batch["mel"], batch["mel_lengths"], batch["text_lengths"],
         state.loss_step, cfg.guided_attention,
         sigma_warmup_steps=sigma_warmup_steps)
-    return losses, out.alignments
+    a = jnp.clip(out.alignments.astype(jnp.float32), 1e-8, None)
+    entropy = -jnp.mean(jnp.sum(a * jnp.log(a), axis=-1))
+    return losses, out.alignments, entropy

@@ -121,6 +121,20 @@ class TestDatasetAndLoader:
             assert b["text"].shape[0] == 2
             assert b["mel"].shape[0] == 2
 
+    def test_loader_rejects_zero_batch_epochs(self, processed):
+        # drop_last + dataset smaller than the global batch would yield
+        # ZERO batches every epoch (training would silently do nothing):
+        # the loader must fail fast instead.
+        import pytest
+        ds = TextMelDataset(os.path.join(processed, "metadata.csv"))
+        with pytest.raises(ValueError, match="zero batches"):
+            BatchLoader(ds, batch_size=len(ds) + 1)
+        with pytest.raises(ValueError, match="zero batches"):
+            BatchLoader(ds, batch_size=4, process_index=0, process_count=2)
+        # drop_last=False tolerates it (trailing partial batch)
+        assert len(BatchLoader(ds, batch_size=len(ds) + 1,
+                               drop_last=False)) == 1
+
     def test_loader_partial_batch_kept_for_validation(self, processed):
         ds = TextMelDataset(os.path.join(processed, "metadata.csv"))
         loader = BatchLoader(ds, batch_size=4, shuffle=False,

@@ -169,6 +169,17 @@ class TestG2pDivergences:
         assert g2p.pronounce("bass") == g2p.pronounce("bass")
         assert list(g2p.pronounce("bass")) == ["B", "AE1", "S"]
 
+    def test_noun_default_overrides_cmudict_first_variant(self):
+        # Deliberate deviations pinned: CMUdict lists the VERB first for
+        # these, but with no context cue the (far more common) noun
+        # reading wins — marked as overrides in homographs.py.
+        g2p = G2p()
+        assert list(g2p.pronounce("subject")) == \
+            ["S", "AH1", "B", "JH", "IH0", "K", "T"]
+        assert list(g2p.pronounce("record")) == \
+            ["R", "EH1", "K", "ER0", "D"]
+        assert list(g2p.pronounce("wind")) == ["W", "IH1", "N", "D"]
+
     def test_homographs_can_be_disabled(self):
         g2p = G2p(homographs=False)
         # plain first-variant lookup (CMUdict lists R EH1 D first)

@@ -192,9 +192,10 @@ class TestTrainStep:
     def test_eval_step_deterministic(self):
         state = create_train_state(SMALL, seed=0)
         batch = _train_batch(SMALL)
-        l1, _ = eval_step(state, batch, cfg=SMALL, sigma_warmup_steps=800)
-        l2, _ = eval_step(state, batch, cfg=SMALL, sigma_warmup_steps=800)
+        l1, _, e1 = eval_step(state, batch, cfg=SMALL, sigma_warmup_steps=800)
+        l2, _, e2 = eval_step(state, batch, cfg=SMALL, sigma_warmup_steps=800)
         assert float(l1.total) == float(l2.total)
+        assert float(e1) == float(e2) and float(e1) > 0.0
 
 
 class TestPrecisionPolicy:
@@ -320,6 +321,10 @@ class TestCheckpoint:
         bad.mkdir()
         (bad / "junk.txt").write_text("not a checkpoint")
         template = create_train_state(SMALL, seed=0)
-        with pytest.raises(Exception) as exc_info:
+        with pytest.raises(RuntimeError) as exc_info:
             load_any_checkpoint(str(bad), template)
-        assert "bad" in str(exc_info.value) or exc_info.type is not None
+        # The chained error must name the path AND surface both failure
+        # modes (full-state and params-only restore).
+        msg = str(exc_info.value)
+        assert "bad" in msg
+        assert "full training state" in msg and "params-only" in msg
