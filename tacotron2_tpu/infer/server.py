@@ -242,14 +242,14 @@ class BatchingTTSService(TTSService):
             raise RuntimeError("request completed without a result")
         return item.wav
 
-    def close(self) -> None:
+    def close(self, join_timeout: float = 60.0) -> None:
         """Stop the worker (pending requests finish first)."""
         with self._close_lock:
             if self._closed:
                 return
             self._closed = True
             self._queue.put(None)
-        self._worker.join(timeout=60)
+        self._worker.join(timeout=join_timeout)
         # Safety net: never strand a waiter (the close lock means nothing
         # can be enqueued after the sentinel, so this should be empty).
         while True:

@@ -226,6 +226,38 @@ class TestBatchingService:
         with pytest.raises(RuntimeError):
             svc.synthesize("After close.")
 
+    def test_close_mid_batch_leaves_sentinel_for_worker(self,
+                                                        tmp_path_factory):
+        # close() whose join() times out while the worker is inside a
+        # long batch must NOT steal the shutdown sentinel: the worker
+        # still needs it to exit once the batch finishes.
+        from tacotron2_tpu.infer.server import BatchingTTSService
+
+        cfg = _tiny_cfg()
+        ckpt = _tiny_checkpoint(tmp_path_factory, cfg)
+        svc = BatchingTTSService(ckpt, cfg, griffinlim_iters=2,
+                                 max_batch=2, batch_window_ms=0.0)
+        started, release = threading.Event(), threading.Event()
+        orig = svc._process
+
+        def slow(batch):
+            started.set()
+            release.wait(timeout=60)
+            return orig(batch)
+
+        svc._process = slow
+        t = threading.Thread(
+            target=lambda: svc.synthesize("Hold the batch open."))
+        t.start()
+        assert started.wait(timeout=60)
+        svc.close(join_timeout=0.2)        # times out mid-batch
+        assert svc._worker.is_alive()      # still finishing the batch
+        release.set()
+        svc._worker.join(timeout=60)
+        assert not svc._worker.is_alive()  # consumed the kept sentinel
+        t.join(timeout=60)
+        assert not t.is_alive()            # request completed normally
+
 
 class TestPerItemSpeakerIds:
     """make_speaker_ids with a per-item sequence (mixed-speaker batches)."""
