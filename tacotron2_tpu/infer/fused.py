@@ -62,7 +62,8 @@ def synthesize_wav_fused(params, model_state, mcfg: ModelConfig,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "mcfg", "acfg", "max_steps", "gate_threshold", "stop_mode"))
+    "mcfg", "acfg", "max_steps", "gate_threshold", "stop_mode",
+    "vocoder_chunk_frames"))
 def synthesize_wav_fused_hifigan(params, model_state, hifigan_params,
                                  mcfg: ModelConfig, acfg: AudioConfig,
                                  tokens: jnp.ndarray,
@@ -70,7 +71,8 @@ def synthesize_wav_fused_hifigan(params, model_state, hifigan_params,
                                  speaker_ids: Optional[jnp.ndarray] = None, *,
                                  max_steps: Optional[int] = None,
                                  gate_threshold: Optional[float] = None,
-                                 stop_mode: str = "any"
+                                 stop_mode: str = "any",
+                                 vocoder_chunk_frames: Optional[int] = None
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray,
                                             jnp.ndarray, jnp.ndarray]:
     """tokens (B, T_enc) -> (wav (B, S*hop), mel_postnet (B, S, n_mels),
@@ -84,8 +86,14 @@ def synthesize_wav_fused_hifigan(params, model_state, hifigan_params,
     log-mel floor, so the vocoder renders silence there; trim returned audio
     at ``frame_ends[b] * hop_length`` (the generator's total upsampling
     256 == hop_length).
+
+    ``vocoder_chunk_frames`` bounds the generator's peak activation
+    memory by vocoding the mel in exact receptive-field-overlapped
+    windows of that many frames (models.hifigan.hifigan_apply_chunked):
+    the unchunked generator's upsampled activations are the HBM wall
+    that caps fused serving batch size.
     """
-    from ..models.hifigan import hifigan_apply
+    from ..models.hifigan import hifigan_apply, hifigan_apply_chunked
     out, n_frames, frame_ends = tacotron2_infer(
         params, model_state, mcfg, tokens, max_steps=max_steps,
         gate_threshold=gate_threshold, text_lengths=text_lengths,
@@ -95,7 +103,12 @@ def synthesize_wav_fused_hifigan(params, model_state, hifigan_params,
     valid = (jnp.arange(s)[None, :, None]
              < frame_ends[:, None, None])                  # (B, S, 1)
     mel = jnp.where(valid, mel, jnp.float32(np.log(acfg.mel_eps)))
-    wav = hifigan_apply(hifigan_params, jnp.swapaxes(mel, 1, 2))
+    mel_ct = jnp.swapaxes(mel, 1, 2)                       # (B, n_mels, S)
+    if vocoder_chunk_frames:
+        wav = hifigan_apply_chunked(hifigan_params, mel_ct,
+                                    chunk=vocoder_chunk_frames)
+    else:
+        wav = hifigan_apply(hifigan_params, mel_ct)
     return wav, mel, n_frames, frame_ends
 
 

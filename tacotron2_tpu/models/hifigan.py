@@ -150,6 +150,53 @@ def hifigan_apply(params: Dict[str, Any], mel: jnp.ndarray) -> jnp.ndarray:
     return jnp.tanh(x).astype(jnp.float32)[:, 0, :]
 
 
+# Total upsampling factor: one mel frame -> this many output samples.
+TOTAL_UPSAMPLE = int(np.prod(UPSAMPLE_RATES))
+
+# Receptive radius of the generator in INPUT mel frames (analytic bound:
+# conv_pre 3 + up1 ~1 + stage-1 MRF 60/8 + later stages <2 combined
+# ~= 13.3; 16 gives margin and keeps windows lane-aligned).  The chunked
+# apply is exact when overlap >= this — pinned by a parity test.
+RECEPTIVE_FRAMES = 16
+
+
+def hifigan_apply_chunked(params: Dict[str, Any], mel: jnp.ndarray,
+                          chunk: int = 256,
+                          overlap: int = RECEPTIVE_FRAMES) -> jnp.ndarray:
+    """Memory-bounded generator: identical output to :func:`hifigan_apply`.
+
+    The full generator materializes (B, 32, T*128) fp32-scale activations
+    in its last upsample stage — the HBM wall that caps fused serving at
+    batch 128 (BASELINE.md).  This variant scans the mel in fixed
+    ``chunk``-frame windows extended by ``overlap`` frames of real
+    context on each side (>= the stack's receptive radius), vocodes each
+    window, and keeps only the center: peak activation memory scales
+    with ``chunk + 2*overlap`` instead of T.  Window starts clamp to the
+    signal, so boundary chunks see the true utterance edge (the same
+    zero conv padding the unchunked call sees) — the output is exact,
+    not an approximation, at ~2*overlap/chunk redundant compute.
+    """
+    b, c, t = mel.shape
+    if t <= chunk + 2 * overlap:
+        return hifigan_apply(params, mel)
+    w = chunk + 2 * overlap
+    n = -(-t // chunk)
+    up = TOTAL_UPSAMPLE
+
+    def body(out, i):
+        s = jnp.minimum(i * chunk, t - chunk)   # last chunk re-covers tail
+        ws = jnp.clip(s - overlap, 0, t - w)
+        win = jax.lax.dynamic_slice(mel, (0, 0, ws), (b, c, w))
+        wav_w = hifigan_apply(params, win)      # (B, w*up)
+        piece = jax.lax.dynamic_slice(
+            wav_w, (0, (s - ws) * up), (b, chunk * up))
+        return jax.lax.dynamic_update_slice(out, piece, (0, s * up)), None
+
+    out = jnp.zeros((b, t * up), jnp.float32)
+    out, _ = jax.lax.scan(body, out, jnp.arange(n))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # NVIDIA checkpoint conversion
 # ---------------------------------------------------------------------------

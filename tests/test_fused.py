@@ -77,6 +77,26 @@ class TestFused:
         np.testing.assert_allclose(np.asarray(wav), np.asarray(wav_modular),
                                    atol=5e-5)
 
+    def test_fused_hifigan_chunked_vocoder_matches_unchunked(self):
+        """vocoder_chunk_frames (memory-bounded serving for batches past
+        the HBM wall) produces the same waveform as the unchunked fused
+        program."""
+        from tacotron2_tpu.models.hifigan import hifigan_init
+
+        params, state = tacotron2_init(jax.random.PRNGKey(0), SMALL.model)
+        hp = hifigan_init(jax.random.PRNGKey(1))
+        rng = np.random.default_rng(0)
+        tokens = jnp.asarray(rng.integers(1, 72, (2, 16)), jnp.int32)
+        lengths = jnp.asarray([16, 12], jnp.int32)
+        ref, _, _, _ = synthesize_wav_fused_hifigan(
+            params, state, hp, SMALL.model, SMALL.audio, tokens, lengths,
+            None, max_steps=96)
+        chunked, _, _, _ = synthesize_wav_fused_hifigan(
+            params, state, hp, SMALL.model, SMALL.audio, tokens, lengths,
+            None, max_steps=96, vocoder_chunk_frames=24)
+        np.testing.assert_allclose(np.asarray(chunked), np.asarray(ref),
+                                   atol=5e-5)
+
     def test_host_wrapper_hifigan(self):
         from tacotron2_tpu.models.hifigan import hifigan_init
         params, state = tacotron2_init(jax.random.PRNGKey(0), SMALL.model)

@@ -25,6 +25,25 @@ class TestForward:
         assert wav.shape == (2, 7 * 256)  # prod(8,8,2,2) * hop alignment
         assert np.abs(wav).max() <= 1.0  # tanh output
 
+    def test_chunked_apply_exactly_matches_full(self):
+        """hifigan_apply_chunked is an EXACT memory-bounded evaluation:
+        receptive-field-overlapped windows with clamped starts reproduce
+        the unchunked output, including the utterance edges."""
+        from tacotron2_tpu.models.hifigan import hifigan_apply_chunked
+        params = hifigan_init(jax.random.PRNGKey(0))
+        mel = np.random.default_rng(2).standard_normal((2, 80, 100)).astype(
+            np.float32) - 5.0
+        full = np.asarray(hifigan_apply(params, mel))
+        # chunk not dividing T, several chunks, clamped last window
+        chunked = np.asarray(hifigan_apply_chunked(params, mel, chunk=24))
+        assert chunked.shape == full.shape
+        np.testing.assert_allclose(chunked, full, atol=2e-5)
+        # short input falls back to the unchunked path
+        short_ref = np.asarray(hifigan_apply(params, mel[:, :, :30]))
+        short = np.asarray(hifigan_apply_chunked(params, mel[:, :, :30],
+                                                 chunk=64))
+        np.testing.assert_allclose(short, short_ref, atol=2e-5)
+
     def test_bf16_serving_cast_close_to_fp32(self):
         """bf16-cast generator (halved activation footprint for batched
         serving) stays numerically close to fp32 and returns fp32 audio."""
