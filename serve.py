@@ -34,6 +34,12 @@ if __name__ == "__main__":
                              "batch-mates (0 = drain-only: batch whatever "
                              "queued while the device was busy; zero "
                              "added latency when idle).")
+    parser.add_argument("--vocoder_chunk_frames", type=int, default=None,
+                        help="Vocode mels in exact receptive-field-"
+                             "overlapped chunks of this many frames: "
+                             "bounds HiFi-GAN's peak activation memory "
+                             "for large --max_batch / long utterances "
+                             "(identical audio, small compute overlap).")
     args = parser.parse_args()
 
     enable_persistent_cache()
@@ -48,4 +54,5 @@ if __name__ == "__main__":
                                             n_speakers=args.n_speakers))
     serve(args.checkpoint, host=args.host, port=args.port, cfg=cfg,
           griffinlim_iters=args.griffinlim_iters, bf16=args.bf16,
-          max_batch=args.max_batch, batch_window_ms=args.batch_window_ms)
+          max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
+          vocoder_chunk_frames=args.vocoder_chunk_frames)

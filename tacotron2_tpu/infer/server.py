@@ -75,7 +75,8 @@ class TTSService:
     """Model-owning synthesis service (thread-safe; device access serialized)."""
 
     def __init__(self, checkpoint_path: str, cfg: Optional[Config] = None,
-                 griffinlim_iters: int = 60, bf16: bool = False):
+                 griffinlim_iters: int = 60, bf16: bool = False,
+                 vocoder_chunk_frames: Optional[int] = None):
         self.cfg = cfg or Config()
         self.params, self.model_state = load_model(checkpoint_path, self.cfg)
         if bf16:
@@ -83,6 +84,7 @@ class TTSService:
             self.params = cast_params_bf16(self.params)
         self.griffinlim_iters = griffinlim_iters
         self._bf16 = bf16
+        self._vocoder_chunk_frames = vocoder_chunk_frames
         self._lock = threading.Lock()
         self._hifigan_vocoder = None
         self._requests = 0
@@ -90,8 +92,12 @@ class TTSService:
     def _hifigan(self):
         if self._hifigan_vocoder is None:
             from ..models.hifigan import load_hifigan_vocoder
-            # --bf16 applies to the generator too (halved activations)
-            self._hifigan_vocoder = load_hifigan_vocoder(bf16=self._bf16)
+            # --bf16 applies to the generator too (halved activations);
+            # chunk_frames bounds its peak activations for large-batch /
+            # long-utterance configurations (exact chunked evaluation).
+            self._hifigan_vocoder = load_hifigan_vocoder(
+                bf16=self._bf16,
+                chunk_frames=self._vocoder_chunk_frames)
         return self._hifigan_vocoder
 
     def _vocode_to_wav(self, mel, vocoder: str) -> bytes:
@@ -207,8 +213,10 @@ class BatchingTTSService(TTSService):
 
     def __init__(self, checkpoint_path: str, cfg: Optional[Config] = None,
                  griffinlim_iters: int = 60, bf16: bool = False,
-                 max_batch: int = 16, batch_window_ms: float = 0.0):
-        super().__init__(checkpoint_path, cfg, griffinlim_iters, bf16=bf16)
+                 max_batch: int = 16, batch_window_ms: float = 0.0,
+                 vocoder_chunk_frames: Optional[int] = None):
+        super().__init__(checkpoint_path, cfg, griffinlim_iters, bf16=bf16,
+                         vocoder_chunk_frames=vocoder_chunk_frames)
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
         self.max_batch = max_batch
@@ -468,22 +476,28 @@ def serve(checkpoint_path: str, host: str = "127.0.0.1", port: int = 8080,
           griffinlim_iters: int = 60,
           bf16: bool = False,
           max_batch: int = 16,
-          batch_window_ms: float = 0.0) -> ThreadingHTTPServer:
+          batch_window_ms: float = 0.0,
+          vocoder_chunk_frames: Optional[int] = None
+          ) -> ThreadingHTTPServer:
     """Start the TTS server (blocking).  Returns the server on shutdown.
 
     ``max_batch`` > 1 serves through :class:`BatchingTTSService` (dynamic
     micro-batching of concurrent requests); ``max_batch=1`` uses the
-    plain per-request service.
+    plain per-request service.  ``vocoder_chunk_frames`` bounds the
+    HiFi-GAN generator's peak activation memory (exact chunked
+    evaluation) for large-batch/long-utterance configurations.
     """
     if max_batch > 1:
         service: TTSService = BatchingTTSService(
             checkpoint_path, cfg, griffinlim_iters, bf16=bf16,
-            max_batch=max_batch, batch_window_ms=batch_window_ms)
+            max_batch=max_batch, batch_window_ms=batch_window_ms,
+            vocoder_chunk_frames=vocoder_chunk_frames)
         mode = (f"micro-batching <= {max_batch}, "
                 f"window {batch_window_ms:g} ms")
     else:
         service = TTSService(checkpoint_path, cfg, griffinlim_iters,
-                             bf16=bf16)
+                             bf16=bf16,
+                             vocoder_chunk_frames=vocoder_chunk_frames)
         mode = "per-request"
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     print(f"TTS server listening on http://{host}:{port} "

@@ -242,6 +242,12 @@ def _jitted_apply(params, mel):
     return hifigan_apply(params, mel)
 
 
+@functools.partial(jax.jit, static_argnames=("chunk", "overlap"))
+def _jitted_apply_chunked(params, mel, chunk: int,
+                          overlap: int = RECEPTIVE_FRAMES):
+    return hifigan_apply_chunked(params, mel, chunk=chunk, overlap=overlap)
+
+
 def load_hifigan_params(checkpoint_path: Optional[str] = None
                         ) -> Dict[str, Any]:
     """Load the NGC generator checkpoint as a JAX params pytree.
@@ -266,13 +272,18 @@ def load_hifigan_params(checkpoint_path: Optional[str] = None
 
 
 def load_hifigan_vocoder(checkpoint_path: Optional[str] = None,
-                         bf16: bool = False):
+                         bf16: bool = False,
+                         chunk_frames: Optional[int] = None):
     """Load the NGC generator checkpoint and return a jitted vocoder callable
     ``mel (B, 80, T) -> wav (B, T*256)``.
 
     ``bf16`` casts the generator weights: halves the activation footprint
     (the batch-scaling limit — fp32 exceeds HBM past batch ~32) and the
     conv stack runs natively bf16 on the MXU; output stays fp32 audio.
+
+    ``chunk_frames`` bounds peak activation memory via the exact chunked
+    evaluation (:func:`hifigan_apply_chunked`) — for large-batch/long-mel
+    configurations past the unchunked HBM wall.
     """
     params = load_hifigan_params(checkpoint_path)
     if bf16:
@@ -280,6 +291,11 @@ def load_hifigan_vocoder(checkpoint_path: Optional[str] = None,
             lambda x: x.astype(jnp.bfloat16)
             if x.dtype == jnp.float32 else x, params)
 
+    if chunk_frames:
+        apply = functools.partial(_jitted_apply_chunked, chunk=chunk_frames)
+    else:
+        apply = _jitted_apply
+
     def vocode(mel) -> np.ndarray:
-        return np.asarray(_jitted_apply(params, jnp.asarray(mel)))
+        return np.asarray(apply(params, jnp.asarray(mel)))
     return vocode

@@ -190,6 +190,25 @@ class TestTorchParity:
         ours = np.asarray(hifigan_apply(params, mel))
         np.testing.assert_allclose(ours, ref, atol=2e-4)
 
+    def test_vocoder_loader_chunk_frames(self, tmp_path):
+        """load_hifigan_vocoder(chunk_frames=...) (the serve.py
+        --vocoder_chunk_frames plumbing) produces the same audio as the
+        unchunked vocoder callable."""
+        torch = pytest.importorskip("torch")
+        from tacotron2_tpu.models.hifigan import load_hifigan_vocoder
+
+        torch.manual_seed(4)
+        gen = _build_torch_hifigan(torch)
+        ckpt_path = str(tmp_path / "hifigan_plain.pt")
+        torch.save({"generator": gen.state_dict()}, ckpt_path)
+
+        mel = np.random.default_rng(4).standard_normal((1, 80, 90)).astype(
+            np.float32) - 5.0
+        full = load_hifigan_vocoder(ckpt_path)(mel)
+        chunked = load_hifigan_vocoder(ckpt_path, chunk_frames=24)(mel)
+        assert chunked.shape == full.shape == (1, 90 * 256)
+        np.testing.assert_allclose(chunked, full, atol=2e-5)
+
     def test_missing_checkpoint_file_raises(self):
         from tacotron2_tpu.models.hifigan import load_hifigan_params
         with pytest.raises(FileNotFoundError, match="HiFi-GAN checkpoint"):
