@@ -41,6 +41,9 @@ if __name__ == "__main__":
                              "for large --max_batch / long utterances "
                              "(identical audio, small compute overlap).")
     args = parser.parse_args()
+    if (args.vocoder_chunk_frames is not None
+            and args.vocoder_chunk_frames < 1):
+        parser.error("--vocoder_chunk_frames must be >= 1")
 
     enable_persistent_cache()
     cfg = None

@@ -139,7 +139,7 @@ class BatchLoader:
                  text_pad_multiple: int = 32, mel_pad_multiple: int = 64,
                  sort_pool: bool = True, drop_last: bool = True,
                  prefetch: int = 2, process_index: int = 0,
-                 process_count: int = 1):
+                 process_count: int = 1, allow_empty: bool = False):
         """``drop_last=True`` keeps every batch exactly B (one jit shape);
         validation loaders pass False so small val sets still evaluate
         (the trailing partial batch costs one extra compile).
@@ -176,13 +176,18 @@ class BatchLoader:
         self.process_index = process_index
         self.process_count = process_count
         if drop_last and len(dataset) < batch_size * process_count:
-            # Fail fast: with drop_last every epoch would yield ZERO
-            # batches — training would "complete" having done nothing.
-            raise ValueError(
-                f"dataset has {len(dataset)} examples but the global "
-                f"batch is {batch_size * process_count} (batch_size "
-                f"{batch_size} x {process_count} processes) with "
-                f"drop_last: every epoch would yield zero batches")
+            # With drop_last every epoch would yield ZERO batches.  For a
+            # TRAIN loader that means training would "complete" having
+            # done nothing — fail fast.  Callers whose consumer handles
+            # an empty epoch explicitly (validation: validate() reports
+            # 'batches': 0) opt out via allow_empty and get a warning.
+            msg = (f"dataset has {len(dataset)} examples but the global "
+                   f"batch is {batch_size * process_count} (batch_size "
+                   f"{batch_size} x {process_count} processes) with "
+                   f"drop_last: every epoch yields zero batches")
+            if not allow_empty:
+                raise ValueError(msg)
+            print(f"[loader] WARNING: {msg}")
         self._rng = np.random.default_rng(seed)
 
     @property

@@ -258,23 +258,24 @@ class BatchingTTSService(TTSService):
             self._closed = True
             self._queue.put(None)
         self._worker.join(timeout=join_timeout)
-        # Safety net: never strand a waiter (the close lock means nothing
-        # can be enqueued after the sentinel, so this should be empty).
+        if self._worker.is_alive():
+            # join() timed out mid-batch.  Leave the queue untouched: every
+            # pending request precedes the sentinel (FIFO + close lock), so
+            # the still-live worker will serve them all and then exit on
+            # the sentinel — draining here would 500 requests the worker
+            # was about to complete.
+            return
+        # Worker is dead (normally it drains everything incl. the sentinel
+        # before exiting, so this is a crash safety net): never strand a
+        # waiter.
         while True:
             try:
                 item = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if item is None:  # pragma: no cover
-                if self._worker.is_alive():
-                    # join() timed out mid-batch: the worker still needs
-                    # the sentinel to exit — put it back, leave the rest
-                    # of the queue for the worker to finish.
-                    self._queue.put(None)
-                    break
-                continue
-            item.error = RuntimeError("service is closed")  # pragma: no cover
-            item.done.set()
+            if item is not None:  # pragma: no cover
+                item.error = RuntimeError("service is closed")
+                item.done.set()
 
     def _collect(self, first: _Pending) -> list:
         batch = [first]

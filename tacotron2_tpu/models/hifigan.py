@@ -176,6 +176,11 @@ def hifigan_apply_chunked(params: Dict[str, Any], mel: jnp.ndarray,
     zero conv padding the unchunked call sees) — the output is exact,
     not an approximation, at ~2*overlap/chunk redundant compute.
     """
+    if chunk < 1 or overlap < RECEPTIVE_FRAMES:
+        raise ValueError(
+            f"chunk must be >= 1 and overlap >= {RECEPTIVE_FRAMES} "
+            f"(the generator's receptive radius); got chunk={chunk}, "
+            f"overlap={overlap}")
     b, c, t = mel.shape
     if t <= chunk + 2 * overlap:
         return hifigan_apply(params, mel)
@@ -285,6 +290,8 @@ def load_hifigan_vocoder(checkpoint_path: Optional[str] = None,
     evaluation (:func:`hifigan_apply_chunked`) — for large-batch/long-mel
     configurations past the unchunked HBM wall.
     """
+    if chunk_frames is not None and chunk_frames < 1:
+        raise ValueError(f"chunk_frames must be >= 1, got {chunk_frames}")
     params = load_hifigan_params(checkpoint_path)
     if bf16:
         params = jax.tree_util.tree_map(

@@ -93,11 +93,15 @@ def conv_bn_act_pallas(x, conv_p, bn_p, bn_s, eps: float, act: str):
     c_out, _, k = conv_p["w"].shape
     assert k % 2 == 1, "fused conv+BN kernel supports odd kernel sizes"
     wmat, h = fold_conv_bn(conv_p, bn_p, bn_s, eps)
+    # Mirror conv1d_apply's dtype policy: the matmuls run in the WEIGHT
+    # dtype (activations cast down under a bf16 serving cast; the fold's
+    # fp32 scale promotion cast back), accumulate/emit fp32.
+    wdtype = conv_p["w"].dtype
     # Lay the time axis on matmul rows: (B, T + K - 1, C_in), zero-padded
     # halo so every tap's (T, C_in) slice is in-bounds.
-    xt = jnp.swapaxes(x, 1, 2)                                 # (B, T, C_in)
+    xt = jnp.swapaxes(x, 1, 2).astype(wdtype)                  # (B, T, C_in)
     xt = jnp.pad(xt, [(0, 0), ((k - 1) // 2, k // 2), (0, 0)])
-    wmat = wmat.astype(x.dtype)
+    wmat = wmat.astype(wdtype)
     out = pl.pallas_call(
         functools.partial(_kernel, k=k, t=t, act=act),
         grid=(b,),

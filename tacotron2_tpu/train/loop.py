@@ -292,6 +292,9 @@ def train(metadata_path: str, checkpoint_dir: str, *,
                          process_count=n_proc)
     val_loader = None
     if val_metadata:
+        # allow_empty: a val set smaller than the multi-host global batch
+        # skips validation (validate() reports 'batches': 0) instead of
+        # aborting the run the way an empty TRAIN loader does.
         val_loader = BatchLoader(TextMelDataset(val_metadata),
                                  tcfg.batch_size, shuffle=False,
                                  seed=tcfg.seed,
@@ -299,7 +302,7 @@ def train(metadata_path: str, checkpoint_dir: str, *,
                                  mel_pad_multiple=tcfg.mel_pad_multiple,
                                  drop_last=(n_proc > 1),
                                  process_index=jax.process_index(),
-                                 process_count=n_proc)
+                                 process_count=n_proc, allow_empty=True)
         logger.log(f"Loaded {len(val_loader.dataset)} validation samples.")
 
     timer = StepTimer()

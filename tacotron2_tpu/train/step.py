@@ -154,7 +154,11 @@ def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray], *,
     dropout; reference: train.py:252-277).  Returns (losses, alignments,
     mean attention entropy).  The entropy is computed IN-graph so that
     under multi-host GSPMD it is the global-batch mean (host-side numpy
-    would only see the local shard), consistent with the loss means."""
+    would only see the local shard), consistent with the loss means.
+    Deliberately UNMASKED over all decoder rows — the reference's
+    validation diagnostic averages every row (train.py:243-250,274) —
+    and therefore distinct from losses.attention_entropy, which is
+    gate-window masked because it drives the adaptive KL weight."""
     dummy_rng = jnp.zeros((2,), jnp.uint32)
     out, _ = tacotron2_forward(
         state.params, state.model_state, cfg.model, batch["text"],

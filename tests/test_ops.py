@@ -145,6 +145,21 @@ class TestConvBnActKernel:
             np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                        atol=2e-4, rtol=2e-4)
 
+    def test_bf16_weights_match_unfused_bf16_path(self):
+        # Under the bf16 serving cast the kernel must mirror
+        # conv1d_apply's policy (matmuls in the weight dtype, fp32 out),
+        # not silently promote to fp32.
+        conv_p, bn_p, bn_s = self._layer(512, 512)
+        conv_bf = {k: v.astype(jnp.bfloat16) for k, v in conv_p.items()}
+        x = jnp.asarray(np.random.default_rng(5)
+                        .standard_normal((2, 512, 64)).astype(np.float32))
+        ref = conv_bn_act_reference(x, conv_bf, bn_p, bn_s, 1e-5, "tanh")
+        out = conv_bn_act_pallas(x, conv_bf, bn_p, bn_s, eps=1e-5,
+                                 act="tanh")
+        assert out.dtype == ref.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-2, rtol=3e-2)
+
     def test_encoder_postnet_flag_parity(self, monkeypatch):
         # Whole-stack parity: eval-mode encoder/postnet with the fused
         # kernel enabled must match the default XLA path.
