@@ -57,7 +57,7 @@ def main():
         from tacotron2_tpu.dsp import save_wav
         from tacotron2_tpu.infer import (load_model, next_output_path,
                                          synthesize_mels)
-        from tacotron2_tpu.infer.vocode import try_load_hifigan, vocode_mel
+        from tacotron2_tpu.infer.vocode import try_load_hifigan, vocode_mels
         with open(args.batch_file, "r", encoding="utf-8") as f:
             texts = [line.strip() for line in f if line.strip()]
         if not texts:
@@ -68,9 +68,10 @@ def main():
         print(f"Batch synthesis: {len(texts)} texts in one decode")
         mels, _ = synthesize_mels(params, model_state, texts, cfg,
                                   speaker_id=args.speaker_id)
-        for mel in mels:
-            wav = vocode_mel(mel, cfg.audio, vocoder=vocode,
-                             griffinlim_iters=args.griffinlim_iters)
+        # One vocoder dispatch per length bucket (not one per line)
+        wavs = vocode_mels(list(mels), cfg.audio, vocoder=vocode,
+                           griffinlim_iters=args.griffinlim_iters)
+        for mel, wav in zip(mels, wavs):
             out_path = next_output_path(args.output_dir)
             save_wav(out_path, wav, cfg.audio.sampling_rate)
             print(f"  -> {out_path} ({mel.shape[0]} frames)")

@@ -345,11 +345,31 @@ class BatchingTTSService(TTSService):
                 except Exception as e:
                     item.error = e
             return
+        # Vocode per REQUESTED vocoder, each group batched on device:
+        # mels sharing a length bucket go through one vocoder dispatch
+        # (vocode_mels) instead of one per request — GL and the HiFi-GAN
+        # generator both batch, so this is the difference between
+        # serialized per-item vocoding and one call per bucket.
+        by_voc: dict = {}
         for item, mel in zip(batch, mels[:n]):
+            by_voc.setdefault(item.vocoder, []).append((item, mel))
+        for voc, pairs in by_voc.items():
             try:
-                item.wav = self._vocode_to_wav(mel, item.vocoder)
-            except Exception as e:
-                item.error = e
+                from .vocode import vocode_mels
+                wavs = vocode_mels(
+                    [m for _, m in pairs], self.cfg.audio,
+                    vocoder=self._hifigan() if voc == "hifigan" else None,
+                    griffinlim_iters=self.griffinlim_iters)
+                for (item, _), w in zip(pairs, wavs):
+                    item.wav = _wav_bytes(w, self.cfg.audio.sampling_rate)
+            except Exception:
+                # Group failure (e.g. missing HiFi-GAN checkpoint):
+                # isolate per item so only the offending requests error.
+                for item, mel in pairs:
+                    try:
+                        item.wav = self._vocode_to_wav(mel, item.vocoder)
+                    except Exception as e:
+                        item.error = e
 
     def _solo(self, item: _Pending) -> bytes:
         mels, _ = synthesize_mels(self.params, self.model_state,

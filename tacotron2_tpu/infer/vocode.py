@@ -51,6 +51,56 @@ def vocode_mel(mel: np.ndarray, cfg: AudioConfig,
     return audio[: t_true * cfg.hop_length]
 
 
+def _pad_frames(mel: np.ndarray, t_pad: int, eps: float) -> np.ndarray:
+    t = int(mel.shape[0])
+    if t_pad == t:
+        return mel
+    return np.concatenate(
+        [mel, np.full((t_pad - t, mel.shape[1]), np.log(eps), mel.dtype)],
+        axis=0)
+
+
+def vocode_mels(mels, cfg: AudioConfig, vocoder: Optional[Callable] = None,
+                griffinlim_iters: int = 60):
+    """Batched counterpart of :func:`vocode_mel` for a list of
+    variable-length (T_i, n_mels) mels — returns trimmed waveforms in
+    order.
+
+    Mels sharing a 128-frame time bucket are stacked and vocoded in ONE
+    device call (the group is padded to a power-of-two batch by repeating
+    the last mel, so steady-state traffic reuses O(log B x buckets)
+    compiled programs).  Griffin-Lim and the HiFi-GAN callable both
+    batch on device, so a coalesced serving batch pays one vocoder
+    dispatch per distinct length bucket instead of one per request.
+    """
+    out = [None] * len(mels)
+    groups = {}
+    for i, m in enumerate(mels):
+        t_pad = -(-int(m.shape[0]) // _FRAME_BUCKET) * _FRAME_BUCKET
+        groups.setdefault(t_pad, []).append(i)
+    for t_pad, idxs in groups.items():
+        g = 1
+        while g < len(idxs):
+            g *= 2
+        padded = [_pad_frames(mels[i], t_pad, cfg.mel_eps) for i in idxs]
+        padded += [padded[-1]] * (g - len(idxs))
+        stacked = np.stack(padded)                     # (G, t_pad, n_mels)
+        if vocoder is not None:
+            audio = np.asarray(vocoder(stacked.transpose(0, 2, 1)))
+        else:
+            linear = mel_to_linear(
+                jnp.exp(jnp.asarray(stacked.transpose(0, 2, 1))),
+                sr=cfg.sampling_rate, n_fft=cfg.n_fft, n_mels=cfg.n_mels,
+                fmin=cfg.fmin, fmax=cfg.fmax)
+            audio = np.asarray(griffin_lim(
+                linear, n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+                win_length=cfg.win_length, n_iter=griffinlim_iters,
+                length=t_pad * cfg.hop_length))
+        for j, i in enumerate(idxs):
+            out[i] = audio[j, : int(mels[i].shape[0]) * cfg.hop_length]
+    return out
+
+
 def _try_load(loader_name: str, checkpoint_path: Optional[str]):
     """Run a ``models.hifigan`` loader, returning None (with a message) on
     ANY failure — missing checkpoint, missing torch, wrong layout — so

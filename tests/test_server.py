@@ -259,6 +259,66 @@ class TestBatchingService:
         assert not t.is_alive()            # request completed normally
 
 
+class TestBatchedVocode:
+    """vocode_mels groups same-bucket mels into one vocoder dispatch and
+    matches per-item vocode_mel exactly."""
+
+    def test_matches_per_item_griffinlim(self):
+        from tacotron2_tpu.config import Config
+        from tacotron2_tpu.infer.vocode import vocode_mel, vocode_mels
+        acfg = Config().audio
+        rng = np.random.default_rng(0)
+        # Distinct buckets (128 vs 384) -> singleton groups whose (1,F,T)
+        # shape matches vocode_mel's exactly, so Griffin-Lim's
+        # shape-dependent random phase init is identical and the outputs
+        # are bit-comparable.
+        mels = [rng.standard_normal((t, 80)).astype(np.float32) - 5.0
+                for t in (100, 300)]
+        batched = vocode_mels(mels, acfg, griffinlim_iters=2)
+        for m, wav in zip(mels, batched):
+            ref = vocode_mel(m, acfg, griffinlim_iters=2)
+            assert wav.shape == ref.shape == (m.shape[0] * acfg.hop_length,)
+            np.testing.assert_allclose(wav, ref, atol=1e-4)
+
+    def test_grouped_griffinlim_shapes_finite(self):
+        # Same-bucket mels batch into one GL call whose random phase init
+        # depends on the (G,F,T) shape — per-sample waveforms therefore
+        # differ from batch-1 reconstructions (different valid phases,
+        # same magnitudes), exactly like the fused batch paths.  Assert
+        # the contract that holds: per-item lengths and finiteness.
+        from tacotron2_tpu.config import Config
+        from tacotron2_tpu.infer.vocode import vocode_mels
+        acfg = Config().audio
+        rng = np.random.default_rng(2)
+        mels = [rng.standard_normal((t, 80)).astype(np.float32) - 5.0
+                for t in (100, 120)]
+        out = vocode_mels(mels, acfg, griffinlim_iters=2)
+        for m, wav in zip(mels, out):
+            assert wav.shape == (m.shape[0] * acfg.hop_length,)
+            assert np.isfinite(wav).all()
+
+    def test_groups_by_bucket_one_call_each(self):
+        from tacotron2_tpu.config import Config
+        from tacotron2_tpu.infer.vocode import vocode_mels
+        acfg = Config().audio
+        calls = []
+
+        def fake_vocoder(mel_bct):  # (G, n_mels, T) -> (G, T*hop)
+            calls.append(mel_bct.shape)
+            g, _, t = mel_bct.shape
+            return np.zeros((g, t * acfg.hop_length), np.float32)
+
+        rng = np.random.default_rng(1)
+        mels = [rng.standard_normal((t, 80)).astype(np.float32)
+                for t in (100, 120, 300)]
+        out = vocode_mels(mels, acfg, vocoder=fake_vocoder)
+        # lengths 100/120 share the 128 bucket (padded to a group of 2);
+        # 300 pads to 384 alone -> exactly two dispatches
+        assert sorted(calls) == [(1, 80, 384), (2, 80, 128)]
+        for m, wav in zip(mels, out):
+            assert wav.shape == (m.shape[0] * acfg.hop_length,)
+
+
 class TestPerItemSpeakerIds:
     """make_speaker_ids with a per-item sequence (mixed-speaker batches)."""
 
