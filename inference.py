@@ -68,13 +68,18 @@ def main():
         print(f"Batch synthesis: {len(texts)} texts in one decode")
         mels, _ = synthesize_mels(params, model_state, texts, cfg,
                                   speaker_id=args.speaker_id)
-        # One vocoder dispatch per length bucket (not one per line)
-        wavs = vocode_mels(list(mels), cfg.audio, vocoder=vocode,
-                           griffinlim_iters=args.griffinlim_iters)
-        for mel, wav in zip(mels, wavs):
-            out_path = next_output_path(args.output_dir)
-            save_wav(out_path, wav, cfg.audio.sampling_rate)
-            print(f"  -> {out_path} ({mel.shape[0]} frames)")
+        # One vocoder dispatch per length bucket (not one per line),
+        # chunked so WAVs are written incrementally: a crash partway
+        # through vocoding keeps every already-finished chunk on disk.
+        chunk = 16
+        for s in range(0, len(mels), chunk):
+            part = list(mels[s:s + chunk])
+            wavs = vocode_mels(part, cfg.audio, vocoder=vocode,
+                               griffinlim_iters=args.griffinlim_iters)
+            for mel, wav in zip(part, wavs):
+                out_path = next_output_path(args.output_dir)
+                save_wav(out_path, wav, cfg.audio.sampling_rate)
+                print(f"  -> {out_path} ({mel.shape[0]} frames)")
         return
 
     if args.input_file:

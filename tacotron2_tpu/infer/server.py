@@ -45,7 +45,7 @@ import numpy as np
 from ..config import Config
 from ..models.tacotron2 import make_speaker_ids
 from .synthesize import load_model, synthesize_mels
-from .vocode import vocode_mel
+from .vocode import vocode_mel, vocode_mels
 
 
 # Mel frames of left context re-vocoded with each streamed chunk (then
@@ -355,16 +355,20 @@ class BatchingTTSService(TTSService):
             by_voc.setdefault(item.vocoder, []).append((item, mel))
         for voc, pairs in by_voc.items():
             try:
-                from .vocode import vocode_mels
                 wavs = vocode_mels(
                     [m for _, m in pairs], self.cfg.audio,
                     vocoder=self._hifigan() if voc == "hifigan" else None,
                     griffinlim_iters=self.griffinlim_iters)
                 for (item, _), w in zip(pairs, wavs):
                     item.wav = _wav_bytes(w, self.cfg.audio.sampling_rate)
-            except Exception:
+            except Exception as group_err:
                 # Group failure (e.g. missing HiFi-GAN checkpoint):
                 # isolate per item so only the offending requests error.
+                # LOG it — a deterministic bug here would otherwise
+                # silently disable the batched path on every batch.
+                print(f"[serve] grouped {voc} vocode failed "
+                      f"({type(group_err).__name__}: {group_err}); "
+                      f"retrying {len(pairs)} items individually")
                 for item, mel in pairs:
                     try:
                         item.wav = self._vocode_to_wav(mel, item.vocoder)

@@ -32,10 +32,7 @@ def vocode_mel(mel: np.ndarray, cfg: AudioConfig,
     """
     t_true = int(mel.shape[0])
     t_pad = -(-t_true // _FRAME_BUCKET) * _FRAME_BUCKET
-    if t_pad > t_true:
-        mel = np.concatenate(
-            [mel, np.full((t_pad - t_true, mel.shape[1]),
-                          np.log(cfg.mel_eps), mel.dtype)], axis=0)
+    mel = _pad_frames(mel, t_pad, cfg.mel_eps)
     if vocoder is not None:
         audio = np.asarray(vocoder(mel.T[None])[0])
     else:
@@ -61,7 +58,7 @@ def _pad_frames(mel: np.ndarray, t_pad: int, eps: float) -> np.ndarray:
 
 
 def vocode_mels(mels, cfg: AudioConfig, vocoder: Optional[Callable] = None,
-                griffinlim_iters: int = 60):
+                griffinlim_iters: int = 60, max_group: int = 16):
     """Batched counterpart of :func:`vocode_mel` for a list of
     variable-length (T_i, n_mels) mels — returns trimmed waveforms in
     order.
@@ -72,13 +69,21 @@ def vocode_mels(mels, cfg: AudioConfig, vocoder: Optional[Callable] = None,
     compiled programs).  Griffin-Lim and the HiFi-GAN callable both
     batch on device, so a coalesced serving batch pays one vocoder
     dispatch per distinct length bucket instead of one per request.
+
+    ``max_group`` splits oversized buckets into multiple dispatches: the
+    fp32 HiFi-GAN generator's activations exceed HBM past batch ~32
+    (models/hifigan.py), so unbounded grouping would OOM exactly where
+    batching matters most.
     """
     out = [None] * len(mels)
-    groups = {}
+    buckets = {}
     for i, m in enumerate(mels):
         t_pad = -(-int(m.shape[0]) // _FRAME_BUCKET) * _FRAME_BUCKET
-        groups.setdefault(t_pad, []).append(i)
-    for t_pad, idxs in groups.items():
+        buckets.setdefault(t_pad, []).append(i)
+    groups = [(t_pad, all_idxs[s:s + max_group])
+              for t_pad, all_idxs in buckets.items()
+              for s in range(0, len(all_idxs), max_group)]
+    for t_pad, idxs in groups:
         g = 1
         while g < len(idxs):
             g *= 2

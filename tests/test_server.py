@@ -318,6 +318,14 @@ class TestBatchedVocode:
         for m, wav in zip(mels, out):
             assert wav.shape == (m.shape[0] * acfg.hop_length,)
 
+        # max_group caps dispatch size (the fp32 HiFi-GAN HBM wall):
+        # 20 same-bucket mels -> one batch-16 call + one batch-4 call.
+        calls.clear()
+        many = [np.zeros((100, 80), np.float32) for _ in range(20)]
+        out = vocode_mels(many, acfg, vocoder=fake_vocoder, max_group=16)
+        assert sorted(calls) == [(4, 80, 128), (16, 80, 128)]
+        assert all(w.shape == (100 * acfg.hop_length,) for w in out)
+
 
 class TestPerItemSpeakerIds:
     """make_speaker_ids with a per-item sequence (mixed-speaker batches)."""

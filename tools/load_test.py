@@ -108,20 +108,28 @@ def main():
     ap.add_argument("--warmup", type=int, default=2,
                     help="untimed warmup requests (compile)")
     args = ap.parse_args()
+    url = args.url.rstrip("/")
+    levels = [int(c) for c in args.concurrency.split(",") if c.strip()]
+    if not levels:
+        ap.error("--concurrency has no levels")
 
-    for i in range(args.warmup):
-        _one_request(args.url, TEXTS[i % len(TEXTS)], args.vocoder,
-                     args.timeout)
+    try:
+        for i in range(args.warmup):
+            _one_request(url, TEXTS[i % len(TEXTS)], args.vocoder,
+                         args.timeout)
+    except Exception as e:
+        sys.exit(f"warmup request to {url}/synthesize failed "
+                 f"({type(e).__name__}: {e}) — is the server up?")
 
-    for level in [int(c) for c in args.concurrency.split(",")]:
-        stats = run_level(args.url, level, args.requests, args.vocoder,
+    for level in levels:
+        stats = run_level(url, level, args.requests, args.vocoder,
                           args.timeout)
         if stats is None:
             print(json.dumps({"concurrency": level, "error": "all failed"}))
             continue
         print(json.dumps(stats))
 
-    with urllib.request.urlopen(f"{args.url}/healthz",
+    with urllib.request.urlopen(f"{url}/healthz",
                                 timeout=args.timeout) as r:
         print("healthz:", r.read().decode(), file=sys.stderr)
 
