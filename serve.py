@@ -34,6 +34,17 @@ if __name__ == "__main__":
                              "batch-mates (0 = drain-only: batch whatever "
                              "queued while the device was busy; zero "
                              "added latency when idle).")
+    parser.add_argument("--max_queue", type=int, default=64,
+                        help="Backpressure bound: at most this many "
+                             "requests wait for the batching worker; "
+                             "beyond it requests are shed with 503 + "
+                             "Retry-After instead of queueing without "
+                             "bound.")
+    parser.add_argument("--request_timeout_s", type=float, default=None,
+                        help="Bound a request's total service time "
+                             "(queue wait + decode); expiry returns 504 "
+                             "and frees the batch slot. Default: no "
+                             "timeout.")
     parser.add_argument("--vocoder_chunk_frames", type=int, default=None,
                         help="Vocode mels in exact receptive-field-"
                              "overlapped chunks of this many frames: "
@@ -58,4 +69,6 @@ if __name__ == "__main__":
     serve(args.checkpoint, host=args.host, port=args.port, cfg=cfg,
           griffinlim_iters=args.griffinlim_iters, bf16=args.bf16,
           max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
-          vocoder_chunk_frames=args.vocoder_chunk_frames)
+          vocoder_chunk_frames=args.vocoder_chunk_frames,
+          max_queue=args.max_queue,
+          request_timeout_s=args.request_timeout_s)

@@ -48,10 +48,14 @@ from .synthesize import load_model, synthesize_mels
 from .vocode import vocode_mel, vocode_mels
 
 
-# Mel frames of left context re-vocoded with each streamed chunk (then
-# trimmed from the audio): covers the STFT window / generator receptive
-# field enough to suppress chunk-boundary clicks.
-_STREAM_CTX = 8
+# Mel frames of left context re-vocoded with each streamed GRIFFIN-LIM
+# chunk (then trimmed from the audio): covers the STFT window (4 frames
+# at n_fft=1024 / hop=256) with margin to suppress chunk-boundary
+# clicks.  Griffin-Lim is inherently chunk-local (its phase iteration
+# only ever sees one chunk), so its streamed output is an approximation
+# of the one-shot vocode; the HiFi-GAN streaming path is EXACT instead
+# (receptive-field hold-back, see ``_stream_pcm_hifigan``).
+_STREAM_CTX_GL = 8
 
 
 def _pcm16(audio: np.ndarray) -> bytes:
@@ -116,48 +120,124 @@ class TTSService:
 
         Streams POSTNET-REFINED mels (``apply_postnet=True``: same
         spectral quality as /synthesize, at a fixed 10-frame ~116 ms
-        lookahead delay).  Each chunk is vocoded with ``_STREAM_CTX``
-        frames of left context from the previous chunk (trimmed from the
-        audio) to suppress boundary discontinuities in the chunk-local
-        vocoder.  The device lock is taken per chunk, so a long stream
-        interleaves with other requests (including a BatchingTTSService's
-        batch worker) instead of monopolizing the chip.
-        """
-        from .streaming import stream_mels
+        lookahead delay).  Vocoding per chunk:
 
+        * ``hifigan`` — EXACT: the generator's receptive radius is
+          ``RECEPTIVE_FRAMES`` (16) mel frames (models/hifigan.py), so
+          the stream holds back the last 16 frames of each chunk and
+          vocodes every emitted frame with >= 16 real frames of context
+          on both sides (or the true utterance edge).  The concatenated
+          stream equals the one-shot ``hifigan_apply`` of the full mel,
+          at a further 16-frame (~186 ms) lookahead delay.
+        * ``griffinlim`` — approximate: each chunk is vocoded with
+          ``_STREAM_CTX_GL`` frames of left context (trimmed from the
+          audio); GL's phase iteration is chunk-local by nature, so the
+          streamed audio deviates from one-shot GL (quantified in
+          tests/test_server.py).
+
+        The device lock is taken per chunk, so a long stream interleaves
+        with other requests (including a BatchingTTSService's batch
+        worker) instead of monopolizing the chip.
+        """
         # validate eagerly so errors raise before any bytes are sent
         make_speaker_ids(speaker_id, 1, self.cfg.model)
         if vocoder == "hifigan":
             self._hifigan()   # raises FileNotFoundError before streaming
         with self._lock:
             self._requests += 1
+        if vocoder == "hifigan":
+            return self._stream_pcm_hifigan(text, speaker_id, chunk_frames)
+        return self._stream_pcm_griffinlim(text, speaker_id, chunk_frames)
 
-        def gen():
-            ctx: Optional[np.ndarray] = None
-            mel_gen = stream_mels(self.params, self.model_state, text,
-                                  self.cfg, chunk_frames=chunk_frames,
-                                  speaker_id=speaker_id,
-                                  apply_postnet=True)
-            hop = self.cfg.audio.hop_length
-            while True:
-                with self._lock:
-                    try:
-                        chunk = next(mel_gen)
-                    except StopIteration:
+    def _mel_stream(self, text: str, speaker_id, chunk_frames: int):
+        from .streaming import stream_mels
+        return stream_mels(self.params, self.model_state, text, self.cfg,
+                           chunk_frames=chunk_frames, speaker_id=speaker_id,
+                           apply_postnet=True)
+
+    def _stream_pcm_griffinlim(self, text: str, speaker_id,
+                               chunk_frames: int):
+        ctx: Optional[np.ndarray] = None
+        mel_gen = self._mel_stream(text, speaker_id, chunk_frames)
+        hop = self.cfg.audio.hop_length
+        while True:
+            with self._lock:
+                try:
+                    chunk = next(mel_gen)
+                except StopIteration:
+                    return
+                mel = (chunk if ctx is None
+                       else np.concatenate([ctx, chunk], axis=0))
+                audio = vocode_mel(mel, self.cfg.audio, vocoder=None,
+                                   griffinlim_iters=self.griffinlim_iters)
+                if ctx is not None:
+                    audio = audio[ctx.shape[0] * hop:]
+                ctx = mel[-_STREAM_CTX_GL:]
+            yield _pcm16(audio)
+
+    def _stream_pcm_hifigan(self, text: str, speaker_id, chunk_frames: int):
+        """Receptive-field-exact streamed HiFi-GAN vocoding.
+
+        Same hold-back scheme as the postnet stream
+        (infer/streaming.py::_refine_stream): emit a frame's audio only
+        once ``r = RECEPTIVE_FRAMES`` real frames exist on its right (or
+        the stream ended — the true edge, matching the one-shot conv
+        zero-padding), vocoding a window with ``r`` frames of emitted
+        left context.  Mid-stream windows are right-padded to ONE static
+        shape (the emitted frames' receptive cones never reach the
+        padding), so the steady state reuses a single compiled program;
+        the flush window runs at its exact length.
+        """
+        from ..models.hifigan import RECEPTIVE_FRAMES, TOTAL_UPSAMPLE
+
+        hop = self.cfg.audio.hop_length
+        if TOTAL_UPSAMPLE != hop:   # pragma: no cover - config invariant
+            raise RuntimeError(
+                f"HiFi-GAN upsampling {TOTAL_UPSAMPLE} != hop {hop}")
+        voc = self._hifigan()
+        n_mels = self.cfg.model.n_mels
+        log_eps = float(np.log(self.cfg.audio.mel_eps))
+        r = RECEPTIVE_FRAMES
+        bufmax = 2 * r + chunk_frames
+        left = np.zeros((0, n_mels), np.float32)     # emitted context
+        pending = np.zeros((0, n_mels), np.float32)  # hold-back
+        mel_gen = self._mel_stream(text, speaker_id, chunk_frames)
+        while True:
+            piece = flush = None
+            with self._lock:
+                try:
+                    chunk = np.asarray(next(mel_gen), np.float32)
+                except StopIteration:
+                    if not pending.shape[0]:
                         return
-                    mel = (chunk if ctx is None
-                           else np.concatenate([ctx, chunk], axis=0))
-                    audio = vocode_mel(
-                        mel, self.cfg.audio,
-                        vocoder=(self._hifigan() if vocoder == "hifigan"
-                                 else None),
-                        griffinlim_iters=self.griffinlim_iters)
-                    if ctx is not None:
-                        audio = audio[ctx.shape[0] * hop:]
-                    ctx = mel[-_STREAM_CTX:]
-                yield _pcm16(audio)
-
-        return gen()
+                    # True end of stream: vocode the tail at its EXACT
+                    # length — the generator's conv zero-padding at the
+                    # right edge is then the same one the one-shot call
+                    # sees at the utterance end.
+                    buf = np.concatenate([left, pending])
+                    audio = np.asarray(voc(buf.T[None])[0])
+                    flush = audio[left.shape[0] * hop:]
+                else:
+                    body = np.concatenate([pending, chunk])
+                    emit = body.shape[0] - r
+                    if emit > 0:
+                        buf = np.concatenate([left, body])
+                        lo = buf.shape[0] - body.shape[0]
+                        if buf.shape[0] < bufmax:
+                            buf = np.concatenate([buf, np.full(
+                                (bufmax - buf.shape[0], n_mels), log_eps,
+                                np.float32)])
+                        audio = np.asarray(voc(buf.T[None])[0])
+                        piece = audio[lo * hop:(lo + emit) * hop]
+                        left = np.concatenate([left, body[:emit]])[-r:]
+                        pending = body[emit:]
+                    else:
+                        pending = body
+            if flush is not None:
+                yield _pcm16(flush)
+                return
+            if piece is not None:
+                yield _pcm16(piece)
 
     def synthesize(self, text: str, vocoder: str = "griffinlim",
                    speaker_id=None) -> bytes:
@@ -186,8 +266,22 @@ class TTSService:
         return {}
 
 
+class ServiceOverloadedError(RuntimeError):
+    """Batching queue is full: the request is shed (HTTP 503 +
+    ``Retry-After``) instead of queueing unboundedly."""
+
+    def __init__(self, msg: str, retry_after_s: float = 1.0):
+        super().__init__(msg)
+        self.retry_after_s = retry_after_s
+
+
+class ServiceTimeoutError(RuntimeError):
+    """Request exceeded the configured service timeout (HTTP 504)."""
+
+
 class _Pending:
-    __slots__ = ("text", "vocoder", "speaker_id", "done", "wav", "error")
+    __slots__ = ("text", "vocoder", "speaker_id", "done", "wav", "error",
+                 "cancelled")
 
     def __init__(self, text, vocoder, speaker_id):
         self.text = text
@@ -196,6 +290,9 @@ class _Pending:
         self.done = threading.Event()
         self.wav: Optional[bytes] = None
         self.error: Optional[Exception] = None
+        # Set by the request thread on timeout; the worker drops the item
+        # from its batch (best effort — a race just wastes one decode).
+        self.cancelled = False
 
 
 class BatchingTTSService(TTSService):
@@ -214,14 +311,33 @@ class BatchingTTSService(TTSService):
     def __init__(self, checkpoint_path: str, cfg: Optional[Config] = None,
                  griffinlim_iters: int = 60, bf16: bool = False,
                  max_batch: int = 16, batch_window_ms: float = 0.0,
-                 vocoder_chunk_frames: Optional[int] = None):
+                 vocoder_chunk_frames: Optional[int] = None,
+                 max_queue: int = 64,
+                 request_timeout_s: Optional[float] = None):
         super().__init__(checkpoint_path, cfg, griffinlim_iters, bf16=bf16,
                          vocoder_chunk_frames=vocoder_chunk_frames)
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        if max_queue < 1:
+            raise ValueError(f"max_queue must be >= 1, got {max_queue}")
+        if request_timeout_s is not None and request_timeout_s <= 0:
+            raise ValueError(f"request_timeout_s must be > 0, got "
+                             f"{request_timeout_s}")
         self.max_batch = max_batch
         self.batch_window_s = batch_window_ms / 1000.0
+        # Backpressure: at most max_queue requests wait for the worker;
+        # beyond that, synthesize() sheds with ServiceOverloadedError
+        # (503) instead of growing the queue (and client timeouts)
+        # without bound.  request_timeout_s bounds a request's total
+        # time in the service (queue wait + decode); on expiry the
+        # waiter gets ServiceTimeoutError (504) and the worker drops the
+        # item from its next batch.
+        self.max_queue = max_queue
+        self.request_timeout_s = request_timeout_s
         self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._pending_count = 0      # guarded by _close_lock
+        self._rejected = 0           # guarded by _close_lock
+        self._timeouts = 0           # guarded by _close_lock
         self._batches = 0
         self._batched_requests = 0
         self._max_batch_observed = 0
@@ -242,8 +358,23 @@ class BatchingTTSService(TTSService):
         with self._close_lock:
             if self._closed:
                 raise RuntimeError("service is closed")
+            if self._pending_count >= self.max_queue:
+                self._rejected += 1
+                # Hint: one worker drains up to max_batch per device
+                # dispatch; a full queue clears in ~queue/max_batch
+                # batches.  1 s is a serviceable floor for this model.
+                raise ServiceOverloadedError(
+                    f"queue full ({self.max_queue} pending requests)",
+                    retry_after_s=max(
+                        1.0, self.max_queue / max(1, self.max_batch)))
+            self._pending_count += 1
             self._queue.put(item)
-        item.done.wait()
+        if not item.done.wait(self.request_timeout_s):
+            item.cancelled = True
+            with self._close_lock:
+                self._timeouts += 1
+            raise ServiceTimeoutError(
+                f"request timed out after {self.request_timeout_s:g}s")
         if item.error is not None:
             raise item.error
         if item.wav is None:  # pragma: no cover - _process guarantees one
@@ -299,6 +430,17 @@ class BatchingTTSService(TTSService):
             if first is None:
                 return
             batch = self._collect(first)
+            with self._close_lock:
+                self._pending_count -= len(batch)
+            # Drop requests whose waiter already timed out (their result
+            # would be discarded; skipping keeps the batch slot for live
+            # requests).  done is still set for them — harmless.
+            live = [i for i in batch if not i.cancelled]
+            if not live:
+                for item in batch:
+                    item.done.set()
+                continue
+            batch = live
             with self._lock:
                 self._requests += len(batch)
                 self._batches += 1
@@ -383,11 +525,19 @@ class BatchingTTSService(TTSService):
 
     @property
     def stats(self) -> dict:
+        with self._close_lock:
+            depth, rejected, timeouts = (self._pending_count,
+                                         self._rejected, self._timeouts)
         return {"batches": self._batches,
                 "batched_requests": self._batched_requests,
                 "max_batch_observed": self._max_batch_observed,
                 "max_batch": self.max_batch,
-                "batch_window_ms": self.batch_window_s * 1000.0}
+                "batch_window_ms": self.batch_window_s * 1000.0,
+                "queue_depth": depth,
+                "max_queue": self.max_queue,
+                "rejected": rejected,
+                "timeouts": timeouts,
+                "request_timeout_s": self.request_timeout_s}
 
 
 def make_handler(service: TTSService):
@@ -395,12 +545,14 @@ def make_handler(service: TTSService):
         def log_message(self, fmt, *args):  # quiet default access log
             pass
 
-        def _json(self, code: int, obj) -> None:
+        def _json(self, code: int, obj, headers=None) -> None:
             body = json.dumps(obj).encode()
             try:
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
             except (BrokenPipeError, ConnectionResetError):
@@ -472,6 +624,14 @@ def make_handler(service: TTSService):
             except ValueError as e:  # e.g. speaker_id out of range
                 self._json(400, {"error": str(e)})
                 return
+            except ServiceOverloadedError as e:  # queue full: shed load
+                self._json(503, {"error": str(e)},
+                           headers={"Retry-After":
+                                    str(int(round(e.retry_after_s)))})
+                return
+            except ServiceTimeoutError as e:
+                self._json(504, {"error": str(e)})
+                return
             except FileNotFoundError as e:  # hifigan checkpoint missing
                 self._json(503, {"error": str(e)})
                 return
@@ -502,7 +662,9 @@ def serve(checkpoint_path: str, host: str = "127.0.0.1", port: int = 8080,
           bf16: bool = False,
           max_batch: int = 16,
           batch_window_ms: float = 0.0,
-          vocoder_chunk_frames: Optional[int] = None
+          vocoder_chunk_frames: Optional[int] = None,
+          max_queue: int = 64,
+          request_timeout_s: Optional[float] = None
           ) -> ThreadingHTTPServer:
     """Start the TTS server (blocking).  Returns the server on shutdown.
 
@@ -511,14 +673,19 @@ def serve(checkpoint_path: str, host: str = "127.0.0.1", port: int = 8080,
     plain per-request service.  ``vocoder_chunk_frames`` bounds the
     HiFi-GAN generator's peak activation memory (exact chunked
     evaluation) for large-batch/long-utterance configurations.
+    ``max_queue`` bounds the batching queue (overflow -> 503 +
+    Retry-After); ``request_timeout_s`` bounds a request's total service
+    time (expiry -> 504).
     """
     if max_batch > 1:
         service: TTSService = BatchingTTSService(
             checkpoint_path, cfg, griffinlim_iters, bf16=bf16,
             max_batch=max_batch, batch_window_ms=batch_window_ms,
-            vocoder_chunk_frames=vocoder_chunk_frames)
+            vocoder_chunk_frames=vocoder_chunk_frames,
+            max_queue=max_queue, request_timeout_s=request_timeout_s)
         mode = (f"micro-batching <= {max_batch}, "
-                f"window {batch_window_ms:g} ms")
+                f"window {batch_window_ms:g} ms, "
+                f"queue <= {max_queue}")
     else:
         service = TTSService(checkpoint_path, cfg, griffinlim_iters,
                              bf16=bf16,

@@ -54,6 +54,64 @@ def _one_request(url: str, text: str, vocoder: str, timeout: float):
     return wall, audio_sec
 
 
+def run_overload(url: str, concurrency: int, n_requests: int, vocoder: str,
+                 timeout: float):
+    """Slam the server with `concurrency` simultaneous requests and
+    classify every outcome: 200 (served), 503 (shed, with Retry-After),
+    504 (service timeout), other.  Verifies graceful shedding: under a
+    flood, rejects must be FAST (bounded queue) and served requests keep
+    a bounded p99 — queue growth would show up as unbounded 200
+    latencies and no 503s."""
+    results = []  # (status, wall, retry_after)
+    lock = threading.Lock()
+    sem = threading.Semaphore(concurrency)
+
+    def worker(i):
+        with sem:
+            body = json.dumps({"text": TEXTS[i % len(TEXTS)],
+                               "vocoder": vocoder}).encode()
+            req = urllib.request.Request(f"{url}/synthesize", data=body,
+                                         method="POST")
+            t0 = time.time()
+            try:
+                with urllib.request.urlopen(req, timeout=timeout) as r:
+                    r.read()
+                    status, retry = r.status, None
+            except urllib.error.HTTPError as e:
+                e.read()
+                status, retry = e.code, e.headers.get("Retry-After")
+            except Exception:
+                status, retry = -1, None
+            with lock:
+                results.append((status, time.time() - t0, retry))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(n_requests)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    by_status = {}
+    for status, w, _ in results:
+        by_status.setdefault(status, []).append(w)
+    out = {"overload_concurrency": concurrency, "requests": n_requests,
+           "wall_s": round(wall, 3)}
+    for status, walls in sorted(by_status.items()):
+        walls.sort()
+        key = {200: "served", 503: "shed_503", 504: "timeout_504",
+               -1: "transport_error"}.get(status, f"status_{status}")
+        out[key] = {"count": len(walls),
+                    "p50_s": round(walls[len(walls) // 2], 3),
+                    "p99_s": round(walls[min(len(walls) - 1,
+                                             int(len(walls) * 0.99))], 3)}
+    retry_afters = [r for s, _, r in results if s == 503 and r]
+    if retry_afters:
+        out["retry_after_s"] = sorted(set(retry_afters))
+    return out
+
+
 def run_level(url: str, concurrency: int, n_requests: int, vocoder: str,
               timeout: float):
     latencies = [None] * n_requests
@@ -107,6 +165,11 @@ def main():
     ap.add_argument("--timeout", type=float, default=600.0)
     ap.add_argument("--warmup", type=int, default=2,
                     help="untimed warmup requests (compile)")
+    ap.add_argument("--overload", type=int, default=0, metavar="N",
+                    help="after the sweep, flood the server with N "
+                         "simultaneous requests and report the 200/503/"
+                         "504 breakdown (graceful-shedding check; size N "
+                         "past the server's --max_queue)")
     args = ap.parse_args()
     url = args.url.rstrip("/")
     levels = [int(c) for c in args.concurrency.split(",") if c.strip()]
@@ -128,6 +191,10 @@ def main():
             print(json.dumps({"concurrency": level, "error": "all failed"}))
             continue
         print(json.dumps(stats))
+
+    if args.overload:
+        print(json.dumps(run_overload(url, args.overload, args.overload,
+                                      args.vocoder, args.timeout)))
 
     with urllib.request.urlopen(f"{url}/healthz",
                                 timeout=args.timeout) as r:
