@@ -117,6 +117,16 @@ class ModelConfig:
     # tanh/softmax) are what overflow HBM.
     decoder_remat_policy: str = "full"
 
+    # Split-BPTT custom backward for the teacher-forced decoder scan
+    # (ops/decoder_bptt.py): the reverse pass carries no weight-gradient
+    # accumulators (it emits per-step gate gradients and the dW
+    # contractions run as single time-batched MXU matmuls after the
+    # loop), and stores only O(B) carries per step instead of the
+    # attention qsum residuals.  ``remat_decoder_step`` (an explicit
+    # memory/speed request) takes precedence and uses plain autodiff;
+    # env kill-switch TACOTRON2_SPLIT_BPTT=0 for A/B measurement.
+    decoder_split_bptt: bool = True
+
 
 @dataclasses.dataclass(frozen=True)
 class GuidedAttentionConfig:

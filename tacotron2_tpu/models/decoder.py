@@ -156,6 +156,23 @@ def decoder_teacher_forced(params: Dict[str, Any], cfg: ModelConfig,
     step_keys = (jax.random.split(rng_steps, t_dec) if train
                  else jnp.zeros((t_dec, 2), jnp.uint32))
 
+    if train:
+        from ..ops.decoder_bptt import decoder_scan_bptt, split_bptt_enabled
+        if split_bptt_enabled(cfg):
+            # Same forward scan (decode_step, incl. the Pallas attention
+            # tail), hand-written split-BPTT backward: no in-loop weight
+            # -gradient accumulators, no stacked qsum residuals.  PreNet
+            # and the memory projection get their gradients through the
+            # prenet_out / processed_memory input cotangents.
+            core = {k: params[k] for k in ("attention", "attn_lstm",
+                                           "dec_lstm", "proj", "gate")}
+            m = mask if mask is not None else jnp.zeros((b, t_enc), bool)
+            mels, gates, aligns = decoder_scan_bptt(
+                cfg, core, jnp.swapaxes(prenet_out, 0, 1), memory,
+                processed_memory, m, step_keys)
+            return (jnp.swapaxes(mels, 0, 1), jnp.swapaxes(gates, 0, 1),
+                    jnp.swapaxes(aligns, 0, 1))
+
     def step(carry, xs):
         pre_t, key_t = xs
         return decode_step(params, cfg, pre_t, carry, memory,

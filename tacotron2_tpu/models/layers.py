@@ -158,6 +158,30 @@ def lstm_cell_init(key, in_dim: int, hidden: int, dtype=jnp.float32) -> Params:
     }
 
 
+def lstm_gates(p: Params, x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Pre-activation LSTM gates (B, 4H), fp32 (torch order i, f, g, o).
+
+    Split out of :func:`lstm_cell_apply` so the split-BPTT decoder backward
+    (ops/decoder_bptt.py) can recompute gates bit-identically to the
+    forward pass from the same (possibly bf16-cast) inputs.
+    """
+    wd = p["wi"].dtype
+    return (jnp.dot(x.astype(wd), p["wi"],
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(h.astype(wd), p["wh"],
+                      preferred_element_type=jnp.float32)
+            + p["bi"] + p["bh"])
+
+
+def lstm_activations(gates: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                jnp.ndarray]:
+    """(i, f, g, o) gate activations from pre-activation gates (B, 4H)."""
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    return jax.nn.sigmoid(i), jax.nn.sigmoid(f), jnp.tanh(g), \
+        jax.nn.sigmoid(o)
+
+
 def lstm_cell_apply(p: Params, x: jnp.ndarray, h: jnp.ndarray,
                     c: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One LSTM step.  x: (B, in), h/c: (B, H) -> (h', c').
@@ -165,17 +189,7 @@ def lstm_cell_apply(p: Params, x: jnp.ndarray, h: jnp.ndarray,
     The cell state ``c`` always stays in the caller's dtype (fp32 in this
     framework) — only the matmul inputs are cast down for bf16 serving.
     """
-    wd = p["wi"].dtype
-    gates = (jnp.dot(x.astype(wd), p["wi"],
-                     preferred_element_type=jnp.float32)
-             + jnp.dot(h.astype(wd), p["wh"],
-                       preferred_element_type=jnp.float32)
-             + p["bi"] + p["bh"])
-    i, f, g, o = jnp.split(gates, 4, axis=-1)
-    i = jax.nn.sigmoid(i)
-    f = jax.nn.sigmoid(f)
-    g = jnp.tanh(g)
-    o = jax.nn.sigmoid(o)
+    i, f, g, o = lstm_activations(lstm_gates(p, x, h))
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
     return h_new, c_new

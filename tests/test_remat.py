@@ -14,7 +14,10 @@ BASE = ModelConfig(
     symbols_embedding_dim=32, encoder_embedding_dim=32, decoder_rnn_dim=48,
     prenet_dim=16, attention_rnn_dim=48, attention_dim=24,
     location_n_filters=8, location_kernel_size=15,
-    postnet_embedding_dim=24, max_decoder_steps=40)
+    postnet_embedding_dim=24, max_decoder_steps=40,
+    # This file pins remat-vs-plain AUTODIFF equivalence; the split-BPTT
+    # backward has its own parity suite (test_split_bptt.py).
+    decoder_split_bptt=False)
 
 
 def _batch(seed=0):
