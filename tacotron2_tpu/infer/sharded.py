@@ -58,7 +58,7 @@ class ShardedSynthesizer:
 
     def __init__(self, params, model_state, mesh: Mesh,
                  cfg: Optional[Config] = None, hifigan_params=None,
-                 gl_iters: int = 60):
+                 gl_iters: int = 60, tensor_parallel: bool = False):
         if "data" not in mesh.axis_names:
             raise ValueError(f"mesh must have a 'data' axis, has "
                              f"{mesh.axis_names}")
@@ -67,7 +67,19 @@ class ShardedSynthesizer:
         self.n_data = mesh.shape["data"]
         self.gl_iters = gl_iters
         rep = NamedSharding(mesh, P())
-        self.params = jax.device_put(params, rep)
+        if tensor_parallel:
+            # Shard the decoder's wide matmuls over the ``model`` axis
+            # (same layout training uses, parallel/mesh.py); GSPMD
+            # partitions the decode loop's matmuls and all-gathers the
+            # gate-width activations over ICI.
+            if mesh.shape.get("model", 1) < 2:
+                raise ValueError("tensor_parallel needs a 'model' mesh "
+                                 f"axis wider than 1, mesh: {mesh.shape}")
+            from ..parallel.mesh import param_shardings
+            self.params = jax.device_put(
+                params, param_shardings(mesh, params, tensor_parallel=True))
+        else:
+            self.params = jax.device_put(params, rep)
         self.model_state = jax.device_put(model_state, rep)
         self.hifigan_params = (None if hifigan_params is None
                                else jax.device_put(hifigan_params, rep))

@@ -153,13 +153,20 @@ def train(metadata_path: str, checkpoint_dir: str, *,
           postnet_freeze_steps_override: Optional[int] = None,
           accum_steps: int = 1,
           precision: Optional[str] = None,
-          remat: Optional[str] = None) -> TrainState:
+          remat: Optional[str] = None,
+          tensor_parallel: int = 1) -> TrainState:
     """Main training routine (CLI contract of reference train.py:287-298).
 
     ``remat``: None keeps the config; "off" disables decoder-step
     rematerialization; "full"/"dots" enable it with that policy
     (ModelConfig.decoder_remat_policy) — use for batch sizes whose decoder
     activations exceed HBM.
+
+    ``tensor_parallel``: width of the mesh's ``model`` axis (``--tp``).
+    1 = pure data parallelism.  N>1 shards the decoder's wide matmuls
+    (LSTM gate kernels, projection/gate heads — parallel/mesh.py
+    ``_tp_spec_for_path``) over N chips; the remaining chips form the
+    ``data`` axis.  Requires device_count divisible by N.
     """
     import dataclasses
     cfg = cfg or Config()
@@ -237,6 +244,9 @@ def train(metadata_path: str, checkpoint_dir: str, *,
 
     # ================= DEBUG OVERFIT MODE =================
     if debug_overfit:
+        if tensor_parallel > 1:
+            logger.log("NOTE: --tp ignored in --debug overfit mode "
+                       "(single-device diagnostic)")
         return _debug_overfit(dataset, state, tx, cfg, checkpoint_dir,
                               logger, sigma_warmup,
                               iters=tcfg.epochs * 20)
@@ -255,13 +265,28 @@ def train(metadata_path: str, checkpoint_dir: str, *,
     n_proc = jax.process_count()
     n_dev = jax.device_count()
     mesh = None
+    tp = max(1, tensor_parallel)
+    if tp > 1 and n_dev % tp != 0:
+        raise RuntimeError(f"--tp {tp} does not divide the "
+                           f"{n_dev} visible devices")
+    n_data = n_dev // tp
     global_micro_batch = tcfg.batch_size * n_proc
-    if n_dev > 1 and global_micro_batch % n_dev == 0:
+    if tp > 1 and global_micro_batch % n_data != 0:
+        raise RuntimeError(
+            f"global batch {global_micro_batch} not divisible by the "
+            f"data-axis width {n_data} (= {n_dev} devices / tp {tp}) — "
+            f"adjust --batch_size or --tp")
+    if (n_dev > 1 and global_micro_batch % n_data == 0) or tp > 1:
         from ..parallel import make_mesh, shard_train_state
-        mesh = make_mesh(n_data=n_dev, n_model=1)
-        state = shard_train_state(mesh, state)
-        logger.log(f"Data parallel: {n_dev} devices, {n_proc} processes, "
-                   f"global micro-batch {global_micro_batch}")
+        mesh = make_mesh(n_data=n_data, n_model=tp)
+        state = shard_train_state(mesh, state, tensor_parallel=tp > 1)
+        if tp > 1:
+            logger.log(f"SPMD mesh: data={n_data} x model={tp} "
+                       f"(tensor parallel), {n_proc} processes, "
+                       f"global micro-batch {global_micro_batch}")
+        else:
+            logger.log(f"Data parallel: {n_dev} devices, {n_proc} "
+                       f"processes, global micro-batch {global_micro_batch}")
     elif n_proc > 1:
         raise RuntimeError(
             f"multi-process run with global batch {global_micro_batch} not "

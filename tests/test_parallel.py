@@ -80,6 +80,38 @@ class TestDataParallel:
         assert np.isfinite(float(losses.total))
         assert int(new_state.step) == 1
 
+    def test_tp_matches_dp(self, eight_devices):
+        """GSPMD semantics are global: a 4x2 (data x model) mesh computes
+        the SAME step as pure DP8 — TP only changes how the decoder
+        matmuls are partitioned.  fp32 pinned: under the default bf16
+        policy, partitioning changes where bf16 rounding lands and Adam
+        amplifies near-zero-grad differences."""
+        import dataclasses
+        cfg = dataclasses.replace(
+            SMALL, train=dataclasses.replace(SMALL.train,
+                                             precision="float32"))
+        batch = _batch(b=8)
+        results = {}
+        for name, (nd, nm, tp) in (("dp", (8, 1, False)),
+                                   ("tp", (4, 2, True))):
+            mesh = make_mesh(n_data=nd, n_model=nm)
+            state = create_train_state(cfg, seed=0)
+            tx = make_optimizer(cfg.train)
+            with mesh:
+                state = shard_train_state(mesh, state, tensor_parallel=tp)
+                db = shard_batch(mesh, batch)
+                new_state, losses, _ = train_step(
+                    state, db, cfg=cfg, tx=tx, use_postnet=True,
+                    sigma_warmup_steps=800)
+            results[name] = (
+                float(losses.total),
+                np.asarray(new_state.params["decoder"]["proj"]["w"],
+                           np.float32))
+        np.testing.assert_allclose(results["tp"][0], results["dp"][0],
+                                   rtol=1e-3)
+        np.testing.assert_allclose(results["tp"][1], results["dp"][1],
+                                   atol=5e-4)
+
 
 def _make_cached_corpus(root, n=8, seed=0):
     """Preprocessed-corpus fixture written directly (text/mel .npy caches
@@ -269,6 +301,44 @@ class TestMultiHostPlumbing:
         log = (tmp_path / "ckpt" / "training_log.txt").read_text()
         assert "Data parallel: 8 devices" in log
 
+    def test_train_loop_tensor_parallel_epoch(self, eight_devices,
+                                              tmp_path):
+        """The public train() entry point with tensor_parallel=2 — the
+        exact path `train.py --tp 2` drives (VERDICT r2 item 3): builds
+        the 4x2 mesh, TP-shards the decoder weights, completes an epoch
+        and saves a resumable checkpoint."""
+        from tacotron2_tpu.train import train
+        import dataclasses
+        import os
+        meta = _make_cached_corpus(str(tmp_path / "corpus"), n=8)
+        cfg = dataclasses.replace(
+            SMALL, train=dataclasses.replace(
+                SMALL.train, epochs=1, batch_size=8,
+                text_pad_multiple=4, mel_pad_multiple=8))
+        state = train(meta, str(tmp_path / "ckpt"), cfg=cfg,
+                      tensor_parallel=2)
+        assert int(state.step) == 1
+        log = (tmp_path / "ckpt" / "training_log.txt").read_text()
+        assert "data=4 x model=2 (tensor parallel)" in log
+        assert os.path.isdir(os.path.join(str(tmp_path / "ckpt"),
+                                          "tacotron2_epoch_1"))
+
+    def test_tp_validation_errors(self, eight_devices, tmp_path):
+        from tacotron2_tpu.train import train
+        import dataclasses
+        meta = _make_cached_corpus(str(tmp_path / "corpus"), n=8)
+        cfg = dataclasses.replace(
+            SMALL, train=dataclasses.replace(
+                SMALL.train, epochs=1, batch_size=8,
+                text_pad_multiple=4, mel_pad_multiple=8))
+        with pytest.raises(RuntimeError, match="does not divide"):
+            train(meta, str(tmp_path / "ckpt"), cfg=cfg, tensor_parallel=3)
+        cfg6 = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, batch_size=6))
+        with pytest.raises(RuntimeError, match="not divisible by the "
+                                               "data-axis"):
+            train(meta, str(tmp_path / "ckpt"), cfg=cfg6, tensor_parallel=2)
+
 
 class TestGraftEntry:
     def test_entry_compiles(self):
@@ -313,6 +383,32 @@ class TestShardedServing:
             assert ws.shape == wu.shape
             np.testing.assert_allclose(ws, wu, atol=5e-3)
             assert np.mean(np.abs(ws - wu)) < 5e-4
+
+    def test_sharded_tensor_parallel_matches_replicated(self,
+                                                        eight_devices,
+                                                        model):
+        """TP serving (decoder weights sharded over 'model') produces the
+        same waveforms as replicated-parameter serving."""
+        from tacotron2_tpu.infer import ShardedSynthesizer
+
+        params, state = model
+        texts = [f"tensor parallel check {i}." for i in range(4)]
+        mesh = make_mesh(n_data=4, n_model=2)
+        tp = ShardedSynthesizer(params, state, mesh, SMALL, gl_iters=2,
+                                tensor_parallel=True)
+        rep = ShardedSynthesizer(params, state, make_mesh(n_data=8),
+                                 SMALL, gl_iters=2)
+        for wt, wr in zip(tp(texts), rep(texts)):
+            assert wt.shape == wr.shape
+            np.testing.assert_allclose(wt, wr, atol=5e-3)
+
+    def test_sharded_tp_requires_model_axis(self, eight_devices, model):
+        from tacotron2_tpu.infer import ShardedSynthesizer
+
+        params, state = model
+        with pytest.raises(ValueError, match="model"):
+            ShardedSynthesizer(params, state, make_mesh(n_data=8), SMALL,
+                               tensor_parallel=True)
 
     def test_batch_not_divisible_by_mesh(self, eight_devices, model):
         from tacotron2_tpu.infer import ShardedSynthesizer

@@ -42,6 +42,12 @@ if __name__ == "__main__":
                              "step, 'dots' keeps matmul outputs and "
                              "recomputes elementwise ops. Use when large "
                              "--batch_size overflows HBM (default: config).")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="Tensor-parallel width: shard the decoder's "
+                             "wide matmuls over a 'model' mesh axis of "
+                             "this many chips (must divide the device "
+                             "count; remaining chips form the 'data' "
+                             "axis). Default 1 = data parallelism only.")
     args = parser.parse_args()
 
     enable_persistent_cache()
@@ -51,4 +57,4 @@ if __name__ == "__main__":
           val_metadata=args.val_metadata, resume=args.resume,
           postnet_freeze_steps_override=args.postnet_freeze_steps,
           accum_steps=args.accum_steps, precision=args.precision,
-          remat=args.remat)
+          remat=args.remat, tensor_parallel=args.tp)
