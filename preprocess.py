@@ -20,8 +20,11 @@ if __name__ == "__main__":
                         help="Path to the original metadata file.")
     parser.add_argument("output_dir", type=str,
                         help="Directory to save the processed data.")
-    parser.add_argument("--batch_size", type=int, default=16,
-                        help="Device batch size for mel extraction.")
+    parser.add_argument("--batch_size", type=int, default=64,
+                        help="Device batch size for mel extraction "
+                             "(bigger batches = fewer device round-trips; "
+                             "64 is latency-friendly through a tunneled "
+                             "chip and fine locally).")
     args = parser.parse_args()
 
     enable_persistent_cache()
