@@ -115,6 +115,31 @@ def main():
     log(f"batch1 fused: wall {wall:.3f}s (median {np.median(walls):.3f}s) "
         f"for {audio_sec:.2f}s audio -> RTF {rtf1:.5f}, {fps1:.0f} frames/s")
 
+    # DEVICE-time RTF from a profiler trace (XLA Modules line): the wall
+    # number above includes tunnel dispatch latency, so it confounds chip
+    # capability with transport weather round-over-round; this one does
+    # not.  Three traced dispatches, min module time.
+    secondary_device = {}
+    try:
+        import tempfile
+
+        from tacotron2_tpu.utils.xplane import (min_module_time,
+                                                module_device_times)
+        with tempfile.TemporaryDirectory() as tdir:
+            with jax.profiler.trace(tdir):
+                for _ in range(3):
+                    run_fused(1)
+            dev = min_module_time(module_device_times(tdir),
+                                  "synthesize_wav_fused")
+        if dev is not None:
+            secondary_device["rtf_batch1_device"] = round(dev / audio_sec, 6)
+            log(f"batch1 fused DEVICE time {dev:.3f}s -> device RTF "
+                f"{dev / audio_sec:.5f}")
+        else:
+            log("device-time trace: module not found (non-TPU backend?)")
+    except Exception as e:  # tensorflow absent etc. — walls still report
+        log(f"device-time trace skipped: {e}")
+
     # ---- modular path (separate decode + vocode dispatches) ----
     run_modular(1)  # warmup
     t0 = time.time()
@@ -136,6 +161,7 @@ def main():
 
     secondary = {"rtf_batch16_gl_per_stream": round(rtf16, 6),
                  "frames_per_sec_batch16_gl": round(fps16)}
+    secondary.update(secondary_device)
 
     # ---- optional: trained checkpoint, realistic gate-stop decode ----
     if bench_ckpt:
@@ -292,6 +318,97 @@ def main():
         f"{train_fps:.0f} mel-frames/s (loss {float(losses.total):.3f})")
     secondary["train_step_sec_b16"] = round(step_sec, 4)
     secondary["train_frames_per_sec_b16"] = round(train_fps)
+
+    # DEVICE train-step time (same rationale as rtf_batch1_device).
+    try:
+        import tempfile
+
+        from tacotron2_tpu.utils.xplane import (min_module_time,
+                                                module_device_times)
+        tb = stage(train_batch())
+        with tempfile.TemporaryDirectory() as tdir:
+            with jax.profiler.trace(tdir):
+                for _ in range(2):
+                    tstate, losses, _ = train_step(
+                        tstate, tb, cfg=cfg, tx=tx, use_postnet=True,
+                        sigma_warmup_steps=sigma)
+                    float(losses.total)
+                    tb = stage(train_batch())
+            dev_step = min_module_time(module_device_times(tdir),
+                                       "train_step")
+        if dev_step is not None:
+            secondary["train_step_device_sec_b16"] = round(dev_step, 4)
+            secondary["train_frames_per_sec_b16_device"] = round(
+                b_tr * t_dec_tr / dev_step)
+            log(f"train step DEVICE time {dev_step:.3f}s = "
+                f"{b_tr * t_dec_tr / dev_step:.0f} frames/s on-chip")
+    except Exception as e:
+        log(f"train-step device trace skipped: {e}")
+
+    # ---- trained-model gate-stop decode (default-run; VERDICT r2 item
+    # 9).  The headline stays the deterministic 1000-step worst case;
+    # this measures the OTHER behavior class — realistic early gate stop
+    # — without env-var intervention: overfit the full-size model on one
+    # fixed synthetic batch whose gate target fires at frame 300 (the
+    # train_step executable above is reused — same shapes, zero extra
+    # compiles), then decode one of the TRAINING texts autoregressively
+    # (run_fused's executable, same shapes) and record where the gate
+    # stops.  A real checkpoint via TACOTRON2_BENCH_CHECKPOINT still
+    # takes precedence below.
+    try:
+        gate_at = 300
+        ov_rng = np.random.default_rng(7)
+        t = np.linspace(0.0, 1.0, t_dec_tr, dtype=np.float32)
+        # smooth, strongly-structured target mels (per-item chirps): easy
+        # to overfit, and the gate head learns the frame-300 boundary
+        base = np.stack([
+            np.sin(2 * np.pi * (3 + i) * t)[None, :]
+            * np.linspace(1, 0.2, cfg.model.n_mels)[:, None]
+            for i in range(b_tr)]) * 2.0 - 5.0
+        ov_batch = {
+            "text": ov_rng.integers(1, 72, (b_tr, t_enc_tr)).astype(np.int32),
+            "text_lengths": np.full((b_tr,), t_enc_tr, np.int32),
+            "mel": base.astype(np.float32),
+            "mel_lengths": np.full((b_tr,), gate_at, np.int32),
+            "speaker_ids": np.zeros((b_tr,), np.int32),
+        }
+        ov_state = create_train_state(cfg, seed=1)
+        ov_dev = stage(ov_batch)
+        t0 = time.time()
+        for _ in range(150):
+            ov_state, ov_losses, _ = train_step(
+                ov_state, ov_dev, cfg=cfg, tx=tx, use_postnet=True,
+                sigma_warmup_steps=sigma)
+        gate_loss = float(ov_losses.gate)
+        log(f"gate-stop overfit: 150 steps in {time.time() - t0:.1f}s "
+            f"(gate loss {gate_loss:.4f})")
+        # decode one training text autoregressively at run_fused shapes
+        g_tokens = jnp.asarray(ov_batch["text"][:1, :64])
+        g_lengths = jnp.full((1,), 64, jnp.int32)
+        wav_g, n_g, ends_g = synthesize_wav_fused(
+            ov_state.params, ov_state.model_state, cfg.model, acfg,
+            g_tokens, g_lengths, None, max_steps=max_steps)
+        float(wav_g[0, -1])
+        walls_g = []
+        for _ in range(3):
+            t0 = time.time()
+            wav_g, n_g, ends_g = synthesize_wav_fused(
+                ov_state.params, ov_state.model_state, cfg.model, acfg,
+                g_tokens, g_lengths, None, max_steps=max_steps)
+            float(wav_g[0, -1])
+            walls_g.append(time.time() - t0)
+        n_stop = int(np.asarray(ends_g)[0])
+        wall_g = float(np.min(walls_g))
+        audio_g = max(n_stop, 1) * acfg.hop_length / acfg.sampling_rate
+        rtf_g = wall_g / audio_g
+        log(f"trained gate-stop decode: stopped at {n_stop} frames "
+            f"(target ~{gate_at}), wall {wall_g:.3f}s -> RTF {rtf_g:.5f} "
+            f"(fused program still decodes/vocodes the full "
+            f"{max_steps}-frame static buffer)")
+        secondary["trained_gatestop_frames"] = n_stop
+        secondary["rtf_batch1_trained_gatestop"] = round(rtf_g, 6)
+    except Exception as e:
+        log(f"trained gate-stop bench skipped: {e}")
 
     # ---- preprocess (device mel-extraction) throughput ----
     from tacotron2_tpu.dsp.mel import batched_log_mel_with_lengths
