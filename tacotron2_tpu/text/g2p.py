@@ -22,15 +22,25 @@ from .lexicon import load_lexicon
 
 # Ordered LTS rules: longest-match-first grapheme chunks -> phonemes.
 # Deliberately simple; a fallback of last resort, not a linguistics engine.
+# Vowel rules emit PRIMARY stress; the stress post-pass in
+# ``letter_to_sound`` then keeps exactly one primary per word and reduces
+# the rest (held-out CMUdict evaluation: tools/eval_g2p.py).
 _LTS_RULES: Tuple[Tuple[str, Tuple[str, ...]], ...] = (
     ("tion", ("SH", "AH0", "N")),
     ("sion", ("ZH", "AH0", "N")),
     ("ough", ("AO1",)),
     ("augh", ("AO1",)),
     ("eigh", ("EY1",)),
+    ("tious", ("SH", "AH0", "S")),
+    ("cious", ("SH", "AH0", "S")),
     ("igh", ("AY1",)),
     ("tch", ("CH",)),
     ("dge", ("JH",)),
+    ("sch", ("SH",)),     # Germanic: schmidt, schuessler
+    ("szcz", ("SH",)),    # Polish: szczepanski
+    ("sz", ("SH",)),
+    ("cz", ("CH",)),
+    ("zz", ("T", "S")),   # Italian: palazzolo, lazzarini
     ("ch", ("CH",)),
     ("sh", ("SH",)),
     ("th", ("TH",)),
@@ -58,15 +68,13 @@ _LTS_RULES: Tuple[Tuple[str, Tuple[str, ...]], ...] = (
     ("er", ("ER0",)),
     ("ir", ("ER1",)),
     ("ur", ("ER1",)),
-    ("ce", ("S",)),
-    ("ge", ("JH",)),
     ("a", ("AE1",)),
     ("b", ("B",)),
-    ("c", ("K",)),
+    ("c", ("K",)),        # soft c before e/i/y handled in the loop
     ("d", ("D",)),
     ("e", ("EH1",)),
     ("f", ("F",)),
-    ("g", ("G",)),
+    ("g", ("G",)),        # soft g before e/y handled in the loop
     ("h", ("HH",)),
     ("i", ("IH1",)),
     ("j", ("JH",)),
@@ -84,21 +92,160 @@ _LTS_RULES: Tuple[Tuple[str, Tuple[str, ...]], ...] = (
     ("v", ("V",)),
     ("w", ("W",)),
     ("x", ("K", "S")),
-    ("y", ("Y",)),
+    ("y", ("IH1",)),      # mid-word y is a vowel ("pieczynski")
     ("z", ("Z",)),
 )
 
+# Silent onsets: the first letter is not pronounced.
+_SILENT_ONSETS = ("kn", "wr", "gn", "pn", "ps", "mn")
+
+# Word-final suffixes with fixed phonology, applied before the main
+# letter loop.  ``stress``: "steal" = the suffix carries the word's
+# primary stress; "pre" = primary falls on the syllable immediately
+# before the suffix; "none" = suffix is unstressed, stem stress applies.
+# The heavy Slavic-surname coverage is deliberate — CMUdict (and thus
+# the held-out OOV distribution) is dense in them.
+_LTS_SUFFIXES: Tuple[Tuple[str, Tuple[str, ...], str], ...] = (
+    ("ation", ("EY1", "SH", "AH0", "N"), "steal"),
+    ("ology", ("AA1", "L", "AH0", "JH", "IY0"), "steal"),
+    ("owski", ("AO1", "F", "S", "K", "IY0"), "steal"),
+    ("ewski", ("EH1", "F", "S", "K", "IY0"), "steal"),
+    ("inski", ("IH1", "N", "S", "K", "IY0"), "steal"),
+    ("ynski", ("IH1", "N", "S", "K", "IY0"), "steal"),
+    ("ette", ("EH1", "T"), "steal"),
+    ("esque", ("EH1", "S", "K"), "steal"),
+    ("cki", ("T", "S", "K", "IY0"), "none"),   # kondracki
+    ("ski", ("S", "K", "IY0"), "none"),
+    ("czak", ("CH", "AE0", "K"), "none"),
+    ("czyk", ("CH", "IH0", "K"), "none"),
+    ("ment", ("M", "AH0", "N", "T"), "none"),
+    ("ness", ("N", "AH0", "S"), "none"),
+    ("less", ("L", "AH0", "S"), "none"),
+    ("ful", ("F", "AH0", "L"), "none"),
+    ("able", ("AH0", "B", "AH0", "L"), "none"),
+    ("ible", ("AH0", "B", "AH0", "L"), "none"),
+    ("ity", ("AH0", "T", "IY0"), "pre"),
+    ("ism", ("IH2", "Z", "AH0", "M"), "none"),
+    ("ist", ("IH0", "S", "T"), "none"),
+    ("ize", ("AY2", "Z"), "none"),
+    ("ise", ("AY2", "Z"), "none"),
+    ("ous", ("AH0", "S"), "none"),
+    ("ary", ("EH2", "R", "IY0"), "none"),
+    ("ery", ("ER0", "IY0"), "none"),
+    ("ory", ("ER0", "IY0"), "none"),
+    ("age", ("IH0", "JH"), "none"),
+    ("cide", ("S", "AY2", "D"), "none"),
+    ("ator", ("EY2", "T", "ER0"), "none"),
+    ("ian", ("IY0", "AH0", "N"), "pre"),
+    ("ic", ("IH0", "K"), "pre"),
+    ("wicz", ("V", "IH0", "CH"), "none"),   # Polish: stefanowicz
+    ("que", ("K",), "none"),                # French: telephonique
+    ("fy", ("F", "AY0"), "none"),
+    ("ey", ("IY0",), "none"),
+    ("y", ("IY0",), "none"),
+)
+
+_VOWEL_PH = {"AA", "AE", "AH", "AO", "AW", "AY", "EH", "ER", "EY",
+             "IH", "IY", "OW", "OY", "UH", "UW"}
+
+# Unstressed reductions for demoted vowels (full vowel -> reduced form).
+_REDUCE = {"AE": "AH", "AA": "AH", "EH": "IH", "IH": "IH", "AH": "AH",
+           "AO": "AH", "OW": "OW", "IY": "IY", "EY": "EY", "AY": "AY",
+           "AW": "AW", "OY": "OY", "UW": "UW", "UH": "AH", "ER": "ER"}
+
+_VOICED_TAIL = _VOWEL_PH | {"B", "D", "G", "V", "DH", "Z", "ZH", "JH",
+                            "M", "N", "NG", "L", "R", "W", "Y"}
+
+
+def _strip_digit(p: str) -> str:
+    return p.rstrip("012")
+
+
+def _stress_postpass(phones: List[str], primary_idx: Optional[int]
+                     ) -> List[str]:
+    """Keep exactly one primary-stressed vowel; demote and reduce the
+    rest.  ``primary_idx``: index into ``phones`` of the vowel that keeps
+    primary stress; None = the first stressable vowel keeps it."""
+    vowel_positions = [i for i, p in enumerate(phones)
+                       if _strip_digit(p) in _VOWEL_PH]
+    if not vowel_positions:
+        return phones
+    if primary_idx is None or primary_idx not in vowel_positions:
+        # first vowel carrying an explicit primary, else first vowel
+        marked = [i for i in vowel_positions if phones[i].endswith("1")]
+        primary_idx = marked[0] if marked else vowel_positions[0]
+    out = list(phones)
+    for i in vowel_positions:
+        base = _strip_digit(out[i])
+        if i == primary_idx:
+            out[i] = base + "1"
+        elif not out[i].endswith(("0", "2")):
+            out[i] = _REDUCE.get(base, base) + "0"
+    return out
+
 
 def letter_to_sound(word: str) -> List[str]:
-    """Rule-based fallback pronunciation for an OOV word."""
+    """Rule-based fallback pronunciation for an OOV word.
+
+    Beyond the longest-match grapheme rules: doubled consonants collapse,
+    silent onsets (kn-/wr-/ps-...) drop their first letter, ``mc-``
+    expands to /M AH0 K/, soft c/g before front vowels, a word-final
+    suffix table (Latinate + Slavic-surname endings) with stress
+    placement, a one-primary-stress post-pass with vowel reduction, and
+    final-obstruent voicing assimilation for ``-s``.
+    """
     word = word.lower()
-    # Drop a silent final 'e' on words longer than 3 chars ("blake" -> blak).
+    # collapse doubled consonants ("tomassetti" -> tomaseti)
+    out_chars: List[str] = []
+    for ch in word:
+        if out_chars and ch == out_chars[-1] and ch not in "aeiouz":
+            continue                       # zz survives for the T S rule
+        out_chars.append(ch)
+    word = "".join(out_chars)
+
+    prefix_phones: List[str] = []
+    if word.startswith("mc") and len(word) > 4:
+        prefix_phones = ["M", "AH0", "K"]
+        word = word[2:]
+    for onset in _SILENT_ONSETS:
+        if word.startswith(onset) and len(word) > len(onset) + 1:
+            word = word[1:]
+            break
+
+    # word-final suffix with known phonology (longest first)
+    suffix_phones: Tuple[str, ...] = ()
+    stress_mode = "stem"
+    for suf, ph, mode in _LTS_SUFFIXES:
+        if word.endswith(suf) and len(word) > len(suf) + 2:
+            word = word[: -len(suf)]
+            suffix_phones, stress_mode = ph, mode
+            break
+
+    # Drop a silent final 'e' ("blake" -> blak).
     if len(word) > 3 and word.endswith("e") and word[-2] not in "aeiou":
         word = word[:-1]
+
     phones: List[str] = []
     i = 0
     n = len(word)
     while i < n:
+        # soft c / g before front vowels: consume the consonant ONLY
+        # ("medicinal" -> S, "genocide" handled via suffix + soft g)
+        if word[i] == "c" and i + 1 < n and word[i + 1] in "eiy":
+            phones.append("S")
+            i += 1
+            continue
+        if word[i] == "g" and i + 1 < n and word[i + 1] in "ey":
+            phones.append("JH")
+            i += 1
+            continue
+        # n-g before a front vowel is /N/ + soft g ("ingenuous"), not the
+        # NG digraph ("singer")
+        if word[i] == "n" and i + 2 < n and word[i + 1] == "g" \
+                and word[i + 2] in "ey":
+            phones.append("N")
+            i += 1
+            continue
         for chunk, ph in _LTS_RULES:
             if word.startswith(chunk, i):
                 phones.extend(ph)
@@ -106,7 +253,30 @@ def letter_to_sound(word: str) -> List[str]:
                 break
         else:
             i += 1  # unknown character (digit/underscore): skip
-    return phones
+
+    # stress placement across stem + suffix
+    primary_idx: Optional[int] = None
+    if stress_mode == "steal":
+        marked = [j for j, p in enumerate(suffix_phones)
+                  if p.endswith("1")]
+        if marked:
+            primary_idx = len(phones) + marked[0]
+    elif stress_mode == "pre":
+        stem_vowels = [j for j, p in enumerate(phones)
+                       if _strip_digit(p) in _VOWEL_PH]
+        if stem_vowels:
+            primary_idx = stem_vowels[-1]
+    full = phones + list(suffix_phones)
+    full = _stress_postpass(full, primary_idx)
+
+    # Final -s voicing assimilation ("resistors" -> Z) — only for a
+    # bare final 's' letter after a voiced CONSONANT: fixed-phonology
+    # suffixes keep their own phones, and vowel-final /S/ words
+    # ("osteoporosis") are not plurals.
+    if not suffix_phones and len(full) >= 2 and full[-1] == "S" and \
+            _strip_digit(full[-2]) in (_VOICED_TAIL - _VOWEL_PH):
+        full[-1] = "Z"
+    return prefix_phones + full
 
 
 # Voicing-dependent suffix realizations (standard English morphophonology,
@@ -191,11 +361,19 @@ class G2p:
     def _compound(self, word: str) -> Optional[Tuple[str, ...]]:
         """Split an OOV into two lexicon words (longest first part wins):
         "woodcutters" -> wood + cutters.  Both halves must be ≥3 letters
-        so short function words don't produce junk splits."""
+        so short function words don't produce junk splits; halves whose
+        pronunciation is implausibly long for their spelling are rejected
+        (CMUdict abbreviation entries like "nov" -> /november/ would
+        otherwise poison the split).  English compound stress: the second
+        element's primary stress demotes to secondary."""
         for i in range(len(word) - 3, 2, -1):
             a, b = self._lookup(word[:i]), self._lookup(word[i:])
             if a is not None and b is not None:
-                return tuple(a) + tuple(b)
+                if len(a) > 2 * i or len(b) > 2 * (len(word) - i):
+                    continue
+                demoted = tuple(p[:-1] + "2" if p.endswith("1") else p
+                                for p in b)
+                return tuple(a) + demoted
         return None
 
     def _stem_candidates(self, word: str, suffix_len: int) -> List[str]:

@@ -77,6 +77,68 @@ class TestG2p:
             assert p in SYMBOL_TO_ID
 
 
+class TestLetterToSound:
+    """Pins for the r3 LTS rewrite (affix-aware stress, cluster rules;
+    measured on held-out CMUdict by tools/eval_g2p.py — see
+    TestG2pHeldOutAccuracy for the tracked floors)."""
+
+    def test_one_primary_stress(self):
+        # every LTS output carries exactly one primary-stressed vowel
+        for w in ("tomasetti", "brillantine", "vortigern", "zanzibar"):
+            stresses = [p for p in letter_to_sound(w) if p.endswith("1")]
+            assert len(stresses) == 1, (w, letter_to_sound(w))
+
+    def test_doubled_consonants_collapse(self):
+        assert letter_to_sound("carrillo").count("R") == 1
+        assert letter_to_sound("tomassetti").count("T")  # no TT doubling
+        assert "S S" not in " ".join(letter_to_sound("tomassetti"))
+
+    def test_germanic_slavic_clusters(self):
+        assert letter_to_sound("schmidt")[0] == "SH"
+        assert letter_to_sound("szczepan")[0] == "SH"
+        assert "CH" in letter_to_sound("czerny")
+
+    def test_soft_c_g(self):
+        assert "S" in letter_to_sound("cipher")[:1]
+        assert letter_to_sound("gentry")[0] == "JH"
+        assert letter_to_sound("cobble")[0] == "K"   # hard c before o
+
+    def test_suffix_stress_steal(self):
+        # -ation carries the primary; stem vowels are reduced
+        ph = letter_to_sound("flambation")
+        assert "EY1" in ph
+        assert [p for p in ph if p.endswith("1")] == ["EY1"]
+
+    def test_silent_onset_and_mc(self):
+        assert letter_to_sound("knabble")[0] == "N"
+        assert letter_to_sound("mcgillis")[:3] == ["M", "AH0", "K"]
+
+    def test_final_y_is_vowel(self):
+        assert letter_to_sound("blicky")[-1] == "IY0"
+
+
+class TestG2pHeldOutAccuracy:
+    """Tracked floors for the OOV cascade, measured by holding real
+    CMUdict words out of the lexicon (tools/eval_g2p.py).  r2 baseline on
+    this sample: 35% stress-blind word accuracy / 21.5% PER; the r3 LTS
+    rewrite reached 41.6% / 17.3% (n=8000).  Floors sit below the
+    measured values so normal lexicon drift doesn't flake, but any
+    regression toward the old LTS trips them."""
+
+    def test_heldout_floors(self):
+        import os
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from tools.eval_g2p import evaluate
+        stats, _ = evaluate(n=600, seed=1, n_misses=0)
+        assert stats["word_acc"] > 0.36, stats
+        assert stats["per"] < 0.20, stats
+        # morphology stage stays strong
+        st = stats["by_stage"].get("morphology", {"n": 0, "word_ok": 0})
+        if st["n"] >= 20:
+            assert st["word_ok"] / st["n"] > 0.7, st
+
+
 class TestG2pFallbackCascade:
     """Golden cases for each OOV-resolution stage (lexicon miss -> fix).
     These are the words the normalizer actually produces from real text:
