@@ -35,17 +35,21 @@ def synthesize_wav_fused(params, model_state, mcfg: ModelConfig,
                          max_steps: Optional[int] = None,
                          gate_threshold: Optional[float] = None,
                          stop_mode: str = "any",
-                         gl_iters: int = 60
+                         gl_iters: int = 60,
+                         forced_stop_at: Optional[jnp.ndarray] = None
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """tokens (B, T_enc) -> (wav (B, S*hop), n_frames, frame_ends).
 
     Waveforms are Griffin-Lim reconstructions of the postnet mels; sample
     b's audio is valid up to ``frame_ends[b] * hop_length``.
+    ``forced_stop_at`` (traced int32 scalar) force-fires the gate at that
+    frame — see models/decoder.py::decoder_infer.
     """
     out, n_frames, frame_ends = tacotron2_infer(
         params, model_state, mcfg, tokens, max_steps=max_steps,
         gate_threshold=gate_threshold, text_lengths=text_lengths,
-        speaker_ids=speaker_ids, stop_mode=stop_mode)
+        speaker_ids=speaker_ids, stop_mode=stop_mode,
+        forced_stop_at=forced_stop_at)
     mel = out.mel_postnet                                  # (B, S, n_mels)
     s = mel.shape[1]
     valid = (jnp.arange(s)[None, :, None]

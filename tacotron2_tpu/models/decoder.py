@@ -204,7 +204,8 @@ def decoder_infer(params: Dict[str, Any], cfg: ModelConfig,
                   gate_threshold: float,
                   drop_first_frame: bool = True,
                   mask: Optional[jnp.ndarray] = None,
-                  stop_mode: str = "any"
+                  stop_mode: str = "any",
+                  forced_stop_at: Optional[jnp.ndarray] = None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                              jnp.ndarray, jnp.ndarray]:
     """Autoregressive inference under jit: ``lax.while_loop`` + padded buffers.
@@ -225,6 +226,13 @@ def decoder_infer(params: Dict[str, Any], cfg: ModelConfig,
     With ``drop_first_frame`` (the reference's diagnostic-step quirk,
     src/model.py:309-316) the first generated frame advances the state and
     feeds the next step but is not recorded.
+
+    ``forced_stop_at`` (optional TRACED int32 scalar): treat the gate as
+    fired once ``frames_out >= forced_stop_at``, in addition to the real
+    gate.  Because it is data, one compiled executable measures the
+    early-stop exit path (while_loop exit + static-buffer vocode tail) at
+    any stop frame — the instrument bench.py uses to track the early-stop
+    behavior class without needing a fully-converged checkpoint.
 
     Returns (mels (B, S, n_mels), gate_logits (B, S), aligns (B, S, T_enc),
     n_frames scalar int32, frame_ends (B,) int32), where S = max_steps;
@@ -270,6 +278,8 @@ def decoder_infer(params: Dict[str, Any], cfg: ModelConfig,
         n_out = step + 1
         fired = jnp.logical_and(n_out > 1,
                                 jax.nn.sigmoid(gate) > gate_threshold)
+        if forced_stop_at is not None:
+            fired = jnp.logical_or(fired, n_out >= forced_stop_at)
         newly = jnp.logical_and(fired, jnp.logical_not(item_done))
         item_end = jnp.where(newly, n_out, item_end)
         item_done = jnp.logical_or(item_done, fired)

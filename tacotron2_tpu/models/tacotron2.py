@@ -199,7 +199,8 @@ def tacotron2_infer(params: Dict[str, Any], state: Dict[str, Any],
                     drop_first_frame: bool = True,
                     speaker_ids: Optional[jnp.ndarray] = None,
                     text_lengths: Optional[jnp.ndarray] = None,
-                    stop_mode: str = "any"
+                    stop_mode: str = "any",
+                    forced_stop_at: Optional[jnp.ndarray] = None
                     ) -> Tuple[Tacotron2Output, jnp.ndarray, jnp.ndarray]:
     """Autoregressive inference (eval mode).
 
@@ -226,7 +227,8 @@ def tacotron2_infer(params: Dict[str, Any], state: Dict[str, Any],
             else make_pad_mask(text_lengths, text.shape[1]))
     mel_coarse, gate_logits, alignments, n_frames, frame_ends = decoder_infer(
         params["decoder"], cfg, memory, max_steps, gate_threshold,
-        drop_first_frame=drop_first_frame, mask=mask, stop_mode=stop_mode)
+        drop_first_frame=drop_first_frame, mask=mask, stop_mode=stop_mode,
+        forced_stop_at=forced_stop_at)
 
     residual, _ = postnet_apply(params["postnet"], state["postnet"],
                                 jnp.swapaxes(mel_coarse, 1, 2), cfg,

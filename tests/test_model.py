@@ -123,6 +123,23 @@ class TestInference:
         assert int(n_frames) == 2
         assert np.asarray(ends).max() == 2
 
+    def test_forced_stop_at_is_traced_data(self):
+        """forced_stop_at fires the exit path at a controlled frame, and
+        being TRACED data, different stop frames reuse one executable
+        (the bench.py early-stop instrument)."""
+        params, state = tacotron2_init(jax.random.PRNGKey(0), SMALL)
+        text, _, _ = _batch(SMALL)
+        for stop in (5, 11):
+            out, n_frames, ends = tacotron2_infer(
+                params, state, SMALL, text, max_steps=20,
+                forced_stop_at=jnp.int32(stop))
+            assert int(n_frames) == stop
+            assert np.asarray(ends).tolist() == [stop, stop]
+        # without it, same weights run to the cap
+        _, n_frames, _ = tacotron2_infer(params, state, SMALL, text,
+                                         max_steps=20)
+        assert int(n_frames) == 20
+
     def test_stop_mode_all_tracks_per_item_ends(self):
         params, state = tacotron2_init(jax.random.PRNGKey(0), SMALL)
         params = jax.tree_util.tree_map(lambda x: x, params)
