@@ -127,6 +127,14 @@ class ModelConfig:
     # env kill-switch TACOTRON2_SPLIT_BPTT=0 for A/B measurement.
     decoder_split_bptt: bool = True
 
+    # Whole-decode Pallas megakernel for autoregressive inference
+    # (ops/decoder_megakernel.py): one kernel whose grid is the time
+    # axis, keeping all decoder weights + the encoder memory VMEM-
+    # resident across steps instead of re-streaming ~72 MB (fp32) of
+    # parameters from HBM per decoded frame.  TPU-only (the while_loop
+    # path is used elsewhere); env kill-switch TACOTRON2_MEGA_DECODER.
+    decoder_megakernel: bool = True
+
 
 @dataclasses.dataclass(frozen=True)
 class GuidedAttentionConfig:

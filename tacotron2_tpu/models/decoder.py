@@ -242,6 +242,18 @@ def decoder_infer(params: Dict[str, Any], cfg: ModelConfig,
     if stop_mode not in ("any", "all"):
         raise ValueError(f"stop_mode must be 'any' or 'all', got {stop_mode}")
     b, t_enc, _ = memory.shape
+
+    from ..ops.decoder_megakernel import decoder_infer_mega, \
+        megakernel_enabled
+    if megakernel_enabled(cfg, b, t_enc,
+                          params["attn_lstm"]["wi"].dtype.itemsize):
+        # Whole-decode Pallas megakernel: weights stay VMEM-resident
+        # across the sequential time grid instead of re-streaming from
+        # HBM every step (see ops/decoder_megakernel.py).
+        return decoder_infer_mega(
+            params, cfg, memory, max_steps, gate_threshold,
+            drop_first_frame=drop_first_frame, mask=mask,
+            stop_mode=stop_mode, forced_stop_at=forced_stop_at)
     processed_memory = precompute_memory(params["attention"], memory)
     carry0 = init_carry(b, t_enc, cfg)
     dummy_rng = jnp.zeros((2,), jnp.uint32)

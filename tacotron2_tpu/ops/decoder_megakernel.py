@@ -1,0 +1,386 @@
+"""Whole-decode Pallas megakernel: the autoregressive loop in ONE kernel.
+
+The autoregressive decode (reference hot loop: src/model.py:299-333) is
+HBM-bandwidth-bound, not compute-bound: every `lax.while_loop` step of the
+XLA path re-streams all ~18 M decoder parameters (36 MB bf16 / 72 MB
+fp32) from HBM to compute ~2.3 M MACs per batch item — measured
+~44 µs/step at batch 1 where the weight stream alone is the speed of
+light.  This kernel inverts the dataflow: ONE `pallas_call` whose grid is
+the time axis (TPU grid steps execute sequentially on a core), with
+
+  * every weight matrix + the encoder memory/processed-memory as
+    constant-`index_map` blocks — Mosaic loads them into VMEM once and
+    keeps them resident across all grid steps (the scratch-carry +
+    resident-operand pattern, see /opt/skills/guides/pallas_guide.md);
+  * the recurrent state (both LSTM h/c, the attention context, the
+    previous/cumulative alignments, the fed-back mel frame) in VMEM
+    scratch, never touching HBM;
+  * per-step HBM traffic reduced to the outputs: one (B, 81) frame row
+    and one (B, T_enc) alignment row;
+  * the gate-based early exit of `decoder_infer`'s while_loop mapped to
+    an SMEM stop flag: once the stop condition fires, the remaining grid
+    steps are predicated down to cheap zero-fill writes (µs each), so
+    early stops cost what they cost in the while_loop — without giving
+    up weight residency.
+
+Numerical contract: mirrors `models/decoder.py::decode_step` in eval mode
+(linear/LSTM matmuls consume the compute dtype and accumulate fp32; the
+attention tail casts qsum to the compute dtype, then runs tanh/energies/
+softmax in fp32; the context is fp32-accumulated from the compute-dtype
+memory — the `ops/attention_kernel.py` policy).  The location conv runs
+as an im2col matmul over 31 static lane-shifted windows of the
+previous/cumulative alignments — identical math to
+`layers.conv1d_apply`'s 'same'-padded conv.
+
+Exact while_loop bookkeeping is preserved: `stop_mode` "any"/"all",
+`drop_first_frame` (the reference's diagnostic-step quirk), the traced
+`forced_stop_at` instrument, per-item `frame_ends`, and the post-stop
+buffer contents (zero mels/aligns, -1e9 gate logits).
+
+Enabled via ModelConfig.decoder_megakernel / TACOTRON2_MEGA_DECODER=1/0;
+`decoder_infer` falls back to the while_loop path on CPU or when
+disabled.  Parity pinned in tests/test_megakernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ModelConfig
+
+_NEG = -1e9
+
+
+_VMEM_BUDGET = 100 * 1024 * 1024   # leave headroom under the 128 MiB VMEM
+
+
+def _vmem_estimate(cfg: ModelConfig, b: int, t_enc: int,
+                   bytes_per_weight: int) -> int:
+    """Rough resident-VMEM footprint of the megakernel (bytes)."""
+    h = cfg.decoder_rnn_dim
+    in_dims = (cfg.prenet_dim + cfg.encoder_embedding_dim + h
+               + h + cfg.encoder_embedding_dim + h)
+    weights = in_dims * 4 * h + (h + cfg.encoder_embedding_dim) * 128
+    per_item = (t_enc * cfg.encoder_embedding_dim * bytes_per_weight
+                + t_enc * cfg.attention_dim * 4       # pm fp32
+                + t_enc * 4 * 4                       # negmask/prev/cum/align
+                + 6 * h * 4)                          # carries + activations
+    return weights * bytes_per_weight + b * per_item
+
+
+def megakernel_enabled(cfg: ModelConfig, b: int = 1, t_enc: int = 128,
+                       bytes_per_weight: int = 4) -> bool:
+    """Route eval-mode decode through the megakernel?  Env kill-switch
+    TACOTRON2_MEGA_DECODER overrides the config; TPU backends only, and
+    only when the resident working set fits VMEM (large batches fall
+    back to the while_loop path, which is batch-amortized anyway)."""
+    flag = os.environ.get("TACOTRON2_MEGA_DECODER")
+    if flag is not None and flag in ("0", "false", "no"):
+        return False
+    if flag is None and not bool(getattr(cfg, "decoder_megakernel", True)):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    # The per-item attention middle is statically unrolled; measured
+    # crossover vs the batch-amortized while_loop is around b=8
+    # (B=1: 2.1-2.6x device speedup, B=8: 1.35x, larger: wash).
+    if b > 8:
+        return False
+    return _vmem_estimate(cfg, b, t_enc, bytes_per_weight) < _VMEM_BUDGET
+
+
+def _kernel(drop_first: bool, stop_mode: str, max_steps: int, n_mels: int,
+            h: int, pdim: int, edim: int, adim: int, kloc: int,
+            # refs
+            fscal, iscal,
+            pw1, pw2, wi_a, wh_a, b_a, wi_d, wh_d, b_d,
+            wq, w_loc, w_ldense, v_w, w_heads, b_heads,
+            mem, pm, negmask,
+            frames_ref, aligns_ref, ends_ref, nf_ref,
+            h_att, c_att, h_dec, c_dec, ctx_scr, prev_scr, cum_scr,
+            mel_scr, done_scr, end_scr, flags):
+    t = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+    b = mel_scr.shape[0]
+    t_enc = prev_scr.shape[0]
+    cdt = wi_a.dtype
+    f32 = jnp.float32
+
+    @pl.when(t == 0)
+    def _():
+        h_att[:] = jnp.zeros_like(h_att)
+        c_att[:] = jnp.zeros_like(c_att)
+        h_dec[:] = jnp.zeros_like(h_dec)
+        c_dec[:] = jnp.zeros_like(c_dec)
+        ctx_scr[:] = jnp.zeros_like(ctx_scr)
+        prev_scr[:] = jnp.zeros_like(prev_scr)
+        cum_scr[:] = jnp.zeros_like(cum_scr)
+        mel_scr[:] = jnp.zeros_like(mel_scr)
+        done_scr[:] = jnp.zeros_like(done_scr)
+        end_scr[:] = jnp.full_like(end_scr, max_steps)
+        flags[0] = 0   # stop
+        flags[1] = 0   # n_frames
+
+    # In non-drop mode the while_loop runs exactly max_steps bodies; the
+    # kernel's extra last grid step only finalizes the outputs.
+    active = jnp.logical_and(
+        flags[0] == 0,
+        True if drop_first else t < max_steps)
+
+    @pl.when(active)
+    def _():
+        # ---- prenet (eval mode: no dropout) ----
+        x0 = mel_scr[:].astype(cdt)
+        p1 = jax.nn.relu(jnp.dot(x0, pw1[:], preferred_element_type=f32))
+        p2 = jax.nn.relu(jnp.dot(p1.astype(cdt), pw2[:],
+                                 preferred_element_type=f32))
+
+        # ---- attention LSTM ----
+        xa = jnp.concatenate([p2, ctx_scr[:]], axis=-1).astype(cdt)
+        ga = (jnp.dot(xa, wi_a[:], preferred_element_type=f32)
+              + jnp.dot(h_att[:].astype(cdt), wh_a[:],
+                        preferred_element_type=f32) + b_a[:])
+        ia = jax.nn.sigmoid(ga[:, :h])
+        fa = jax.nn.sigmoid(ga[:, h:2 * h])
+        gga = jnp.tanh(ga[:, 2 * h:3 * h])
+        oa = jax.nn.sigmoid(ga[:, 3 * h:])
+        ca_new = fa * c_att[:] + ia * gga
+        ha_new = oa * jnp.tanh(ca_new)
+        h_att[:] = ha_new
+        c_att[:] = ca_new
+
+        # ---- location-sensitive attention ----
+        # Column-major per-item layout: the alignments live as (T_enc, B)
+        # columns so the 31-tap location conv becomes kloc*2 sublane-
+        # shifted vector FMAs and the softmax/context reduce over
+        # sublanes — everything stays 2D (Mosaic has no trailing-unit
+        # reshapes / batched dots).  The per-item attention middle is a
+        # statically unrolled loop (the kernel is gated to small B).
+        pq = jnp.dot(ha_new.astype(cdt), wq[:],
+                     preferred_element_type=f32)              # (B, adim)
+        lpad = (kloc - 1) // 2
+        zl = jnp.zeros((lpad, b), f32)
+        zr = jnp.zeros((kloc - 1 - lpad, b), f32)
+        ppad = jnp.concatenate([zl, prev_scr[:], zr], axis=0)
+        cpad = jnp.concatenate([zl, cum_scr[:], zr], axis=0)
+        wloc = w_loc[:].astype(f32)                          # (2K, F)
+        attn_cols = []
+        ctx_rows = []
+        for i in range(b):
+            # conv as kloc*2 shifted rank-1 FMAs -> (T, F) fp32
+            loc32 = ppad[0:t_enc, i:i + 1] * wloc[0:1, :]
+            for k in range(1, kloc):
+                loc32 = loc32 + ppad[k:k + t_enc, i:i + 1] * wloc[k:k + 1, :]
+            for k in range(kloc):
+                loc32 = loc32 + (cpad[k:k + t_enc, i:i + 1]
+                                 * wloc[kloc + k:kloc + k + 1, :])
+            loc = jnp.dot(loc32.astype(cdt), w_ldense[:],
+                          preferred_element_type=f32)         # (T, adim)
+            qsum = (pq[i:i + 1, :] + pm[i] + loc).astype(cdt)
+            th = jnp.tanh(qsum.astype(f32))
+            e = jnp.dot(th, v_w[:], preferred_element_type=f32)  # (T, 1)
+            e = (e + fscal[1]) * fscal[2] + negmask[:, i:i + 1]
+            m = jnp.max(e, axis=0, keepdims=True)
+            ex = jnp.exp(e - m)
+            attn_i = ex / jnp.sum(ex, axis=0, keepdims=True)  # (T, 1)
+            ctx_rows.append(jnp.sum(attn_i * mem[i].astype(f32),
+                                    axis=0, keepdims=True))   # (1, D)
+            attn_cols.append(attn_i)
+        attn = (attn_cols[0] if b == 1
+                else jnp.concatenate(attn_cols, axis=1))      # (T, B)
+        ctx = (ctx_rows[0] if b == 1
+               else jnp.concatenate(ctx_rows, axis=0))        # (B, D)
+        prev_scr[:] = attn
+        cum_scr[:] = cum_scr[:] + attn
+        ctx_scr[:] = ctx
+
+        # ---- decoder LSTM ----
+        xd = jnp.concatenate([ha_new, ctx], axis=-1).astype(cdt)
+        gd = (jnp.dot(xd, wi_d[:], preferred_element_type=f32)
+              + jnp.dot(h_dec[:].astype(cdt), wh_d[:],
+                        preferred_element_type=f32) + b_d[:])
+        id_ = jax.nn.sigmoid(gd[:, :h])
+        fd = jax.nn.sigmoid(gd[:, h:2 * h])
+        ggd = jnp.tanh(gd[:, 2 * h:3 * h])
+        od = jax.nn.sigmoid(gd[:, 3 * h:])
+        cd_new = fd * c_dec[:] + id_ * ggd
+        hd_new = od * jnp.tanh(cd_new)
+        h_dec[:] = hd_new
+        c_dec[:] = cd_new
+
+        # ---- fused projection + gate heads ----
+        proj_in = jnp.concatenate([hd_new, ctx], axis=-1).astype(cdt)
+        out = jnp.dot(proj_in, w_heads[:],
+                      preferred_element_type=f32) + b_heads[:]
+        frames_ref[0] = out
+        aligns_ref[0] = attn
+        mel_scr[:] = out[:, :n_mels]
+
+        # ---- while_loop bookkeeping (decoder_infer semantics) ----
+        # recorded-frame count after this step: drop-first discards the
+        # t=0 frame, so n_out = t there and t+1 otherwise.
+        n_out = t if drop_first else t + 1
+        gate = out[:, n_mels:]                            # (B, 1)
+        fired = jnp.logical_and(n_out > 1,
+                                jax.nn.sigmoid(gate) > fscal[0])
+        fired = jnp.logical_or(fired, n_out >= iscal[0])
+        was_done = done_scr[:, :1] > 0
+        newly = jnp.logical_and(fired, jnp.logical_not(was_done))
+        end_scr[:, :1] = jnp.where(newly, n_out, end_scr[:, :1])
+        now_done = jnp.logical_or(was_done, fired)
+        done_scr[:, :1] = now_done.astype(jnp.int32)
+
+        @pl.when(n_out > 0)
+        def _():
+            flags[1] = n_out
+        if stop_mode == "any":
+            stop = jnp.any(now_done)
+        else:
+            stop = jnp.all(now_done)
+        flags[0] = stop.astype(jnp.int32)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        # post-stop rows keep the while_loop's untouched-buffer contents
+        frames_ref[0] = jnp.concatenate(
+            [jnp.zeros((b, n_mels), f32), jnp.full((b, 1), _NEG, f32)],
+            axis=-1)
+        aligns_ref[0] = jnp.zeros((t_enc, b), f32)
+
+    @pl.when(t == n_steps - 1)
+    def _():
+        nf = flags[1]
+        ends_ref[:, :1] = jnp.minimum(end_scr[:, :1], nf)
+        nf_ref[0] = nf
+
+
+def decoder_infer_mega(params: Dict[str, Any], cfg: ModelConfig,
+                       memory: jnp.ndarray, max_steps: int,
+                       gate_threshold: float,
+                       drop_first_frame: bool = True,
+                       mask: Optional[jnp.ndarray] = None,
+                       stop_mode: str = "any",
+                       forced_stop_at: Optional[jnp.ndarray] = None
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                  jnp.ndarray, jnp.ndarray]:
+    """Drop-in replacement for `decoder_infer` (same signature/returns),
+    running the whole autoregressive decode as one Pallas program."""
+    b, t_enc, _ = memory.shape
+    h = cfg.decoder_rnn_dim
+    n_mels = cfg.n_mels
+    adim = cfg.attention_dim
+    kloc = cfg.location_kernel_size
+    att = params["attention"]
+    cdt = params["attn_lstm"]["wi"].dtype
+    f32 = jnp.float32
+
+    from ..models.attention import precompute_memory
+    pm = precompute_memory(att, memory).astype(f32)       # (B, T, adim)
+
+    # weight prep (tiny vs the decode itself; XLA hoists what it can)
+    pw1 = params["prenet"][0]["w"].astype(cdt)
+    pw2 = params["prenet"][1]["w"].astype(cdt)
+    b_a = (params["attn_lstm"]["bi"]
+           + params["attn_lstm"]["bh"]).astype(f32)[None, :]
+    b_d = (params["dec_lstm"]["bi"]
+           + params["dec_lstm"]["bh"]).astype(f32)[None, :]
+    lw = att["location_conv"]["w"]                        # (F, 2, K)
+    w_loc = jnp.concatenate([lw[:, 0, :], lw[:, 1, :]],
+                            axis=1).T.astype(cdt)         # (2K, F)
+    w_heads = jnp.concatenate([params["proj"]["w"], params["gate"]["w"]],
+                              axis=1).astype(cdt)         # (1536, M+1)
+    b_heads = jnp.concatenate([params["proj"]["b"],
+                               params["gate"]["b"]]).astype(f32)[None, :]
+    negmask = (jnp.where(mask, _NEG, 0.0).astype(f32).T
+               if mask is not None else jnp.zeros((t_enc, b), f32))
+    fscal = jnp.stack([jnp.asarray(gate_threshold, f32),
+                       att["v"]["b"][0].astype(f32),
+                       att["energy_scale"].astype(f32)])
+    never = jnp.int32(max_steps + 2)
+    iscal = (jnp.asarray(forced_stop_at, jnp.int32).reshape(1)
+             if forced_stop_at is not None else never.reshape(1))
+
+    s1 = max_steps + 1
+    const = lambda *nd: pl.BlockSpec(nd[0], lambda t: (0,) * len(nd[0]),
+                                     memory_space=pltpu.VMEM)
+    row = lambda shape: pl.BlockSpec((1,) + shape, lambda t: (t,) + (0,) *
+                                     len(shape), memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_kernel, drop_first_frame, stop_mode,
+                             max_steps, n_mels, h, cfg.prenet_dim,
+                             cfg.encoder_embedding_dim, adim, kloc)
+    frames, aligns, ends, nf = pl.pallas_call(
+        kern,
+        grid=(s1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # fscal
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # iscal
+            const((n_mels, cfg.prenet_dim)),
+            const((cfg.prenet_dim, cfg.prenet_dim)),
+            const((cfg.prenet_dim + cfg.encoder_embedding_dim, 4 * h)),
+            const((h, 4 * h)),
+            const((1, 4 * h)),
+            const((h + cfg.encoder_embedding_dim, 4 * h)),
+            const((h, 4 * h)),
+            const((1, 4 * h)),
+            const((h, adim)),                             # wq
+            const((2 * kloc, cfg.location_n_filters)),    # w_loc
+            const((cfg.location_n_filters, adim)),        # w_ldense
+            const((adim, 1)),                             # v_w
+            const((h + cfg.encoder_embedding_dim, n_mels + 1)),
+            const((1, n_mels + 1)),
+            const((b, t_enc, cfg.encoder_embedding_dim)), # memory
+            const((b, t_enc, adim)),                      # pm
+            const((t_enc, b)),                            # negmask
+        ],
+        out_specs=[
+            row((b, n_mels + 1)),
+            row((t_enc, b)),
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((s1, b, n_mels + 1), f32),
+            jax.ShapeDtypeStruct((s1, t_enc, b), f32),
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, h), f32),        # h_att
+            pltpu.VMEM((b, h), f32),        # c_att
+            pltpu.VMEM((b, h), f32),        # h_dec
+            pltpu.VMEM((b, h), f32),        # c_dec
+            pltpu.VMEM((b, cfg.encoder_embedding_dim), f32),
+            pltpu.VMEM((t_enc, b), f32),    # prev
+            pltpu.VMEM((t_enc, b), f32),    # cum
+            pltpu.VMEM((b, n_mels), f32),   # fed-back mel
+            pltpu.VMEM((b, 128), jnp.int32),  # done
+            pltpu.VMEM((b, 128), jnp.int32),  # item_end
+            pltpu.SMEM((2,), jnp.int32),    # [stop, n_frames]
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET),
+        interpret=jax.default_backend() != "tpu",
+    )(fscal, iscal, pw1, pw2,
+      params["attn_lstm"]["wi"].astype(cdt),
+      params["attn_lstm"]["wh"].astype(cdt), b_a,
+      params["dec_lstm"]["wi"].astype(cdt),
+      params["dec_lstm"]["wh"].astype(cdt), b_d,
+      att["query"]["w"].astype(cdt), w_loc,
+      att["location_dense"]["w"].astype(cdt),
+      att["v"]["w"].astype(f32), w_heads, b_heads,
+      memory.astype(cdt), pm, negmask)
+
+    sl = slice(1, None) if drop_first_frame else slice(0, max_steps)
+    frames = frames[sl]
+    mels = jnp.swapaxes(frames[..., :n_mels], 0, 1)       # (B, S, n_mels)
+    gates = jnp.swapaxes(frames[..., n_mels], 0, 1)       # (B, S)
+    aligns_out = jnp.transpose(aligns[sl], (2, 0, 1))     # (B, S, T_enc)
+    return mels, gates, aligns_out, nf[0], ends[:, 0]

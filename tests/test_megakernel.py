@@ -1,0 +1,88 @@
+"""Parity tests for the whole-decode Pallas megakernel.
+
+The megakernel (ops/decoder_megakernel.py) must reproduce
+`decoder_infer`'s while_loop semantics exactly: outputs, early-exit
+bookkeeping (n_frames / frame_ends under stop_mode any/all), the
+drop-first-frame quirk, the traced forced_stop_at instrument, and the
+post-stop buffer contents.  On CPU the kernel runs in Pallas interpret
+mode — numerics match the XLA path to float tolerance.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tacotron2_tpu.config import ModelConfig
+from tacotron2_tpu.models.decoder import decoder_init, decoder_infer
+from tacotron2_tpu.ops.decoder_megakernel import decoder_infer_mega
+
+SMALL = ModelConfig(n_mels=8, prenet_dim=16, encoder_embedding_dim=32,
+                    decoder_rnn_dim=64, attention_rnn_dim=64,
+                    attention_dim=16, location_n_filters=4,
+                    location_kernel_size=7)
+B, T_ENC, MAX = 2, 12, 14
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # pure-XLA reference path (the Pallas attention tail is its own
+    # tested component; here we want the megakernel vs the JAX math)
+    os.environ["TACOTRON2_FUSED_ATTENTION"] = "0"
+    params = decoder_init(jax.random.PRNGKey(0), SMALL)
+    memory = jax.random.normal(jax.random.PRNGKey(1), (B, T_ENC, 32)) * 0.5
+    mask = jnp.zeros((B, T_ENC), bool).at[1, 9:].set(True)
+    yield params, memory, mask
+    os.environ.pop("TACOTRON2_FUSED_ATTENTION", None)
+
+
+def assert_parity(ref, got, tol=2e-4):
+    assert int(ref[3]) == int(got[3])
+    np.testing.assert_array_equal(np.asarray(ref[4]), np.asarray(got[4]))
+    for i, name in enumerate(("mels", "gates", "aligns")):
+        err = np.max(np.abs(np.asarray(ref[i]) - np.asarray(got[i])))
+        assert err < tol, (name, err)
+
+
+class TestMegakernelParity:
+    @pytest.mark.parametrize("drop", [True, False])
+    @pytest.mark.parametrize("stop_mode", ["any", "all"])
+    def test_full_run(self, setup, drop, stop_mode):
+        params, memory, mask = setup
+        args = dict(drop_first_frame=drop, mask=mask, stop_mode=stop_mode)
+        ref = decoder_infer(params, SMALL, memory, MAX, 0.5, **args)
+        got = decoder_infer_mega(params, SMALL, memory, MAX, 0.5, **args)
+        assert int(got[3]) == MAX          # random weights: gate never fires
+        assert_parity(ref, got)
+
+    @pytest.mark.parametrize("stop_mode", ["any", "all"])
+    def test_forced_stop(self, setup, stop_mode):
+        params, memory, mask = setup
+        args = dict(mask=mask, stop_mode=stop_mode,
+                    forced_stop_at=jnp.int32(5))
+        ref = decoder_infer(params, SMALL, memory, MAX, 0.5, **args)
+        got = decoder_infer_mega(params, SMALL, memory, MAX, 0.5, **args)
+        assert int(got[3]) == 5
+        # post-stop rows keep the untouched-buffer contents
+        assert np.all(np.asarray(got[0])[:, 5:] == 0.0)
+        assert np.all(np.asarray(got[1])[:, 5:] == -1e9)
+        assert_parity(ref, got)
+
+    def test_natural_gate_fire(self, setup):
+        params, memory, mask = setup
+        hot = jax.tree_util.tree_map(lambda x: x, params)
+        hot["gate"] = dict(params["gate"],
+                           b=jnp.full_like(params["gate"]["b"], 5.0))
+        ref = decoder_infer(hot, SMALL, memory, MAX, 0.5, mask=mask)
+        got = decoder_infer_mega(hot, SMALL, memory, MAX, 0.5, mask=mask)
+        assert int(got[3]) == 2            # fires at the first eligible step
+        assert_parity(ref, got)
+
+    def test_no_mask(self, setup):
+        params, memory, _ = setup
+        ref = decoder_infer(params, SMALL, memory, MAX, 0.5)
+        got = decoder_infer_mega(params, SMALL, memory, MAX, 0.5)
+        assert_parity(ref, got)
