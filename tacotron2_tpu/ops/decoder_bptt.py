@@ -103,18 +103,49 @@ def _attn_probs(small: Dict[str, Any], ha_d: jnp.ndarray, prev: jnp.ndarray,
     return jax.nn.softmax(e, axis=1)
 
 
+def _step_dropout_masks(cfg: ModelConfig, step_keys, b: int, h: int):
+    """Per-step dropout masks, bit-identical to the bernoulli draws
+    `decode_step` makes (and `_bptt_bwd` re-makes) from the same keys."""
+    keep_a = 1.0 - cfg.p_attention_dropout
+    keep_d = 1.0 - cfg.p_decoder_dropout
+
+    def one(key_t):
+        r_att, r_dec = jax.random.split(key_t)
+        mka = (jax.random.bernoulli(r_att, keep_a, (b, h))
+               if cfg.p_attention_dropout > 0.0 else jnp.ones((b, h), bool))
+        mkd = (jax.random.bernoulli(r_dec, keep_d, (b, h))
+               if cfg.p_decoder_dropout > 0.0 else jnp.ones((b, h), bool))
+        return mka, mkd
+
+    return jax.vmap(one)(step_keys)
+
+
 def _fwd_scan(cfg: ModelConfig, params, prenet_tbd, memory, pm, mask,
               step_keys):
     """Forward scan (the ordinary training forward, reusing decode_step —
     including the Pallas attention tail) that additionally emits the
     per-step carries the backward needs: post-dropout hidden states in the
     compute dtype (the exact values the forward matmuls consumed) and fp32
-    cell states."""
+    cell states.
+
+    On TPU under the fused-attention policy the whole scan runs as the
+    Pallas training megakernel (ops/decoder_train_kernel.py) — weights
+    VMEM-resident across steps, dropout from precomputed masks; the
+    emitted outputs/residuals are identical in contract, so the split
+    backward below is unchanged."""
     from ..models.decoder import decode_step, init_carry
 
     b, t_enc, _ = memory.shape
     carry0 = init_carry(b, t_enc, cfg)
     cdt = params["attn_lstm"]["wi"].dtype
+
+    from .decoder_train_kernel import (decoder_fwd_train_mega,
+                                       train_megakernel_enabled)
+    if train_megakernel_enabled(cfg, b, t_enc, cdt):
+        h = cfg.decoder_rnn_dim
+        mka_s, mkd_s = _step_dropout_masks(cfg, step_keys, b, h)
+        return decoder_fwd_train_mega(cfg, params, prenet_tbd, memory,
+                                      pm, mask, mka_s, mkd_s)
 
     def step(carry, xs):
         pre_t, key_t = xs

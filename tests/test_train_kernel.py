@@ -1,0 +1,105 @@
+"""Parity tests for the Pallas training-forward megakernel.
+
+`decoder_fwd_train_mega` (ops/decoder_train_kernel.py) replaces the
+split-BPTT forward scan; since the custom-VJP backward is shared, the
+whole value-and-grad of `decoder_scan_bptt` must match the XLA-scan
+path.  On CPU the kernel runs in Pallas interpret mode (fp32 — tight
+tolerances); dropout masks must reproduce decode_step's bernoulli draws
+bit-exactly for the backward recompute to be consistent.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tacotron2_tpu.config import ModelConfig
+from tacotron2_tpu.models.attention import precompute_memory
+from tacotron2_tpu.models.decoder import decoder_init
+from tacotron2_tpu.ops.decoder_bptt import (_step_dropout_masks,
+                                            decoder_scan_bptt)
+
+SMALL = ModelConfig(n_mels=8, prenet_dim=16, encoder_embedding_dim=32,
+                    decoder_rnn_dim=64, attention_rnn_dim=64,
+                    attention_dim=16, location_n_filters=4,
+                    location_kernel_size=7)
+B, T_ENC, T_DEC = 2, 12, 10
+
+
+@pytest.fixture(scope="module")
+def setup():
+    os.environ["TACOTRON2_FUSED_ATTENTION"] = "1"
+    params = decoder_init(jax.random.PRNGKey(0), SMALL)
+    core = {k: params[k] for k in ("attention", "attn_lstm", "dec_lstm",
+                                   "proj", "gate")}
+    pre = jax.random.normal(jax.random.PRNGKey(1), (T_DEC, B, 16)) * 0.3
+    memory = jax.random.normal(jax.random.PRNGKey(2), (B, T_ENC, 32)) * 0.5
+    pm = precompute_memory(core["attention"], memory)
+    mask = jnp.zeros((B, T_ENC), bool).at[1, 9:].set(True)
+    keys = jax.random.split(jax.random.PRNGKey(7), T_DEC)
+    yield core, pre, memory, pm, mask, keys
+    os.environ.pop("TACOTRON2_FUSED_ATTENTION", None)
+    os.environ.pop("TACOTRON2_MEGA_TRAIN", None)
+
+
+def run_both(setup_vals, loss_fn):
+    core, pre, memory, pm, mask, keys = setup_vals
+
+    def loss(c):
+        out = decoder_scan_bptt(SMALL, c, pre, memory, pm, mask, keys)
+        return loss_fn(out)
+
+    res = {}
+    for flag in ("0", "1"):
+        os.environ["TACOTRON2_MEGA_TRAIN"] = flag
+        jax.clear_caches()
+        res[flag] = jax.value_and_grad(loss)(core)
+    return res["0"], res["1"]
+
+
+class TestTrainKernelParity:
+    def test_value_and_grad(self, setup):
+        (l0, g0), (l1, g1) = run_both(
+            setup, lambda out: (jnp.sum(out[0] ** 2) + jnp.sum(out[1] ** 2)
+                                + jnp.sum(out[2] ** 2) * 0.1))
+        assert abs(float(l1) - float(l0)) < 1e-3 * abs(float(l0))
+        leaves0 = jax.tree_util.tree_leaves_with_path(g0)
+        leaves1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+        gscale = max(float(jnp.max(jnp.abs(v))) for _, v in leaves0)
+        for path, v0 in leaves0:
+            d = float(jnp.max(jnp.abs(leaves1[path] - v0)))
+            rel = d / (float(jnp.max(jnp.abs(v0))) + 1e-3 * gscale)
+            assert rel < 1e-3, (jax.tree_util.keystr(path), rel)
+
+    def test_forward_outputs_match(self, setup):
+        core, pre, memory, pm, mask, keys = setup
+        outs = {}
+        for flag in ("0", "1"):
+            os.environ["TACOTRON2_MEGA_TRAIN"] = flag
+            jax.clear_caches()
+            outs[flag] = decoder_scan_bptt(SMALL, core, pre, memory, pm,
+                                           mask, keys)
+        for i, name in enumerate(("mels", "gates", "attns")):
+            err = float(jnp.max(jnp.abs(outs["0"][i] - outs["1"][i])))
+            assert err < 3e-5, (name, err)
+
+    def test_dropout_masks_match_decode_step(self, setup):
+        """The precomputed masks must equal decode_step's bernoulli
+        draws bit-exactly (the backward recompute depends on it)."""
+        _, _, _, _, _, keys = setup
+        mka, mkd = _step_dropout_masks(SMALL, keys, B, SMALL.decoder_rnn_dim)
+        for t in range(T_DEC):
+            r_att, r_dec = jax.random.split(keys[t])
+            ref_a = jax.random.bernoulli(r_att,
+                                         1.0 - SMALL.p_attention_dropout,
+                                         (B, SMALL.decoder_rnn_dim))
+            ref_d = jax.random.bernoulli(r_dec,
+                                         1.0 - SMALL.p_decoder_dropout,
+                                         (B, SMALL.decoder_rnn_dim))
+            np.testing.assert_array_equal(np.asarray(mka[t]),
+                                          np.asarray(ref_a))
+            np.testing.assert_array_equal(np.asarray(mkd[t]),
+                                          np.asarray(ref_d))
