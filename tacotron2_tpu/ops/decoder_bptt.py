@@ -191,7 +191,9 @@ def _bptt_fwd(cfg, params, prenet_tbd, memory, pm, mask, step_keys):
 
 def _bptt_bwd(cfg, residuals, cots):
     (params, prenet_tbd, memory, pm, mask, step_keys, attns, res) = residuals
-    ha_s, ca_s, hd_s, cd_s = res                 # (T, B, H) each
+    # the Pallas forward additionally saves the attention tanh rows
+    th_saved = res[4] if len(res) == 5 else None
+    ha_s, ca_s, hd_s, cd_s = res[:4]             # (T, B, H) each
     d_mels, d_gates, d_attn_out = cots           # (T,B,M), (T,B), (T,B,S)
     t_dec, b, _ = ha_s.shape
     t_enc = memory.shape[1]
@@ -232,6 +234,23 @@ def _bptt_bwd(cfg, residuals, cots):
     w_heads_t = jnp.concatenate(
         [params["proj"]["w"], params["gate"]["w"]], axis=1).T   # (M+1, in)
     mem_c = memory.astype(cdt)     # d_attn's ctx-path matmul operand
+
+    from .decoder_train_kernel import train_megakernel_enabled
+    if th_saved is not None and train_megakernel_enabled(cfg, b, t_enc,
+                                                         cdt):
+        # Pallas reverse-chain kernel + hoisted attention-weight grads
+        # (ops/decoder_bwd_kernel.py) — same emitted series/grads as the
+        # scan below, weights VMEM-resident across steps.
+        (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_small,
+         d_pm) = _bwd_chain_mega(
+            cfg, params, prenet_tbd, memory, pm, step_keys, attns, ha_s,
+            ha_prev_s, ca_prev_s, hd_prev_s, cd_prev_s, ctx_prev_c,
+            ctx_c, prev_s, cum_s, th_saved, d_mels, d_gates, d_attn_out)
+        return _bptt_weight_grads(
+            cfg, params, prenet_tbd, memory, pm, mask, step_keys, attns,
+            ha_s, hd_s, ha_prev_s, hd_prev_s, ctx_prev_c, ctx_c,
+            d_mels, d_gates, g_att_s, g_dec_s, d_ctx_s, d_pre_s,
+            d_small, d_pm)
 
     att_fn = lambda sm, hh, pv, cm, pmm: _attn_probs(sm, hh, pv, cm, pmm,
                                                      mask, cdt)
@@ -338,9 +357,24 @@ def _bptt_bwd(cfg, residuals, cots):
     carry_f, (g_att_s, g_dec_s, d_ctx_s, d_pre_s) = jax.lax.scan(
         body, carry0, xs, reverse=True)
     (_, _, _, _, _, _, _, d_pm, d_small) = carry_f
+    return _bptt_weight_grads(
+        cfg, params, prenet_tbd, memory, pm, mask, step_keys, attns,
+        ha_s, hd_s, ha_prev_s, hd_prev_s, ctx_prev_c, ctx_c,
+        d_mels, d_gates, g_att_s, g_dec_s, d_ctx_s, d_pre_s,
+        d_small, d_pm)
 
-    # ---- hoisted weight-gradient contractions: one time-batched MXU
-    # matmul per weight instead of T_dec in-loop accumulator updates ----
+
+def _bptt_weight_grads(cfg, params, prenet_tbd, memory, pm, mask,
+                       step_keys, attns, ha_s, hd_s, ha_prev_s, hd_prev_s,
+                       ctx_prev_c, ctx_c, d_mels, d_gates,
+                       g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_small, d_pm):
+    """Shared tail: hoisted weight-gradient contractions — one
+    time-batched MXU matmul per weight instead of T_dec in-loop
+    accumulator updates — and cotangent assembly."""
+    n_mels = cfg.n_mels
+    cdt = params["attn_lstm"]["wi"].dtype
+    f32 = jnp.float32
+
     def dw(x_series, g_series):
         return jnp.einsum("tbi,tbg->ig", x_series, g_series,
                           preferred_element_type=f32)
@@ -378,6 +412,82 @@ def _bptt_bwd(cfg, residuals, cots):
     return (d_params, d_pre_s.astype(prenet_tbd.dtype),
             d_memory.astype(memory.dtype), d_pm.astype(pm.dtype),
             _float0(mask), _float0(step_keys))
+
+
+def _bwd_chain_mega(cfg, params, prenet_tbd, memory, pm, step_keys, attns,
+                    ha_s, ha_prev_s, ca_prev_s, hd_prev_s, cd_prev_s,
+                    ctx_prev_c, ctx_c, prev_s, cum_s, th_s, d_mels,
+                    d_gates, d_attn_out):
+    """Reverse dx chain via the Pallas kernel + hoisted attention-weight
+    gradients (see ops/decoder_bwd_kernel.py for the division of labor).
+    ``th_s`` (T, B, T_enc*A) is the forward kernel's saved attention
+    tanh rows — the entire attention-energy residual.
+
+    Returns (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_small, d_pm) — the
+    exact quantities the reverse scan's carry/emissions produce."""
+    from .decoder_bwd_kernel import decoder_bwd_chain_mega
+    from .decoder_train_kernel import build_wband
+
+    t_dec, b, _ = ha_s.shape
+    t_enc = memory.shape[1]
+    adim = cfg.attention_dim
+    kloc = cfg.location_kernel_size
+    att = params["attention"]
+    cdt = params["attn_lstm"]["wi"].dtype
+    f32 = jnp.float32
+    kp = t_enc + kloc - 1
+    ta = t_enc * adim
+    lpad = (kloc - 1) // 2
+
+    mka_s, mkd_s = _step_dropout_masks(cfg, step_keys, b,
+                                       cfg.decoder_rnn_dim)
+    wband = build_wband(att, t_enc, adim, kloc, cdt)
+
+    d_out_s = jnp.concatenate([d_mels, d_gates[..., None]],
+                              axis=-1).astype(f32)
+
+    (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_qsum_s, d_pq_s, dv_b,
+     scal) = decoder_bwd_chain_mega(
+        cfg, params, wband, memory, prenet_tbd, mka_s, mkd_s,
+        ha_prev_s, ca_prev_s, hd_prev_s, cd_prev_s,
+        ctx_prev_c, ctx_c, attns, th_s,
+        d_out_s, d_attn_out.astype(f32))
+
+    # ---- hoisted attention-weight gradients (single time-batched
+    # contractions over the kernel's emitted d_qsum/d_pq series) ----
+    scale = att["energy_scale"].astype(f32)
+    d_pm = jnp.sum(d_qsum_s.astype(f32), axis=0).reshape(b, t_enc, adim)
+    d_qw = jnp.einsum("tbh,tba->ha", ha_s.astype(f32), d_pq_s,
+                      preferred_element_type=f32)
+    zpad = lambda x: jnp.pad(
+        x, ((0, 0), (0, 0), (lpad, kloc - 1 - lpad)))
+    prevcat_s = jnp.concatenate([zpad(prev_s), zpad(cum_s)],
+                                axis=-1).astype(cdt)      # (T, B, 2P)
+    d_wband = jnp.einsum("tbp,tbq->pq", prevcat_s, d_qsum_s,
+                         preferred_element_type=f32)      # (2P, T*A)
+    # fold the band diagonals back to the composed conv weights, then
+    # chain-rule through comp = wl @ wld
+    d_band = d_wband.reshape(2, kp, t_enc, adim)
+    tt = jnp.arange(t_enc)
+    d_comp = jnp.stack(
+        [jnp.sum(d_band[c][k + tt, tt, :], axis=0)
+         for c in range(2) for k in range(kloc)])         # (2K, A)
+    lw = att["location_conv"]["w"]
+    wl = jnp.concatenate([lw[:, 0, :], lw[:, 1, :]],
+                         axis=1).T.astype(f32)            # (2K, F)
+    wld = att["location_dense"]["w"].astype(f32)
+    d_wl = jnp.dot(d_comp, wld.T)                         # (2K, F)
+    d_wld = jnp.dot(wl.T, d_comp)                         # (F, A)
+    d_lw = jnp.stack([d_wl[:kloc].T, d_wl[kloc:].T], axis=1)  # (F, 2, K)
+    d_small = {
+        "query": {"w": d_qw},
+        "location_conv": {"w": d_lw},
+        "location_dense": {"w": d_wld},
+        "v": {"w": jnp.sum(dv_b, axis=0)[:, None],
+              "b": scal[1][None] * scale},
+        "energy_scale": scal[0],
+    }
+    return g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_small, d_pm
 
 
 decoder_scan_bptt.defvjp(_bptt_fwd, _bptt_bwd)

@@ -109,7 +109,7 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
             wi_a, wh_a, b_a, wi_d, wh_d, b_d,
             wq, wband, v3, w_heads, b_heads,
             mem, pm3, negmask,
-            frames_ref, attn_ref, ha_ref, ca_ref, hd_ref, cd_ref,
+            frames_ref, attn_ref, ha_ref, ca_ref, hd_ref, cd_ref, th_ref,
             h_att, c_att, h_dec, c_dec, ctx_scr, prev_scr, cum_scr):
     t = pl.program_id(0)
     b = prev_scr.shape[0]
@@ -157,6 +157,9 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
     qsum = (pq[:, None, :] + pm3[:]
             + loc2.reshape(b, t_enc, adim)).astype(cdt)
     th = jnp.tanh(qsum.astype(f32))                       # (B, T, A)
+    # emit th for the backward kernel (it is the whole qsum-chain
+    # residual: the backward recomputes nothing of the attention energy)
+    th_ref[0] = th.astype(cdt).reshape(b, t_enc * adim)
     e = jnp.sum(th * v3[:], axis=-1)                      # (B, T)
     e = (e + fscal[0]) * fscal[1] + negmask[:]
     m = jnp.max(e, axis=-1, keepdims=True)
@@ -268,7 +271,8 @@ def decoder_fwd_train_mega(cfg: ModelConfig, params: Dict[str, Any],
     kern = functools.partial(_kernel, n_mels, h, adim, kloc, t_enc,
                              1.0 - cfg.p_attention_dropout,
                              1.0 - cfg.p_decoder_dropout)
-    frames, attns, ha_s, ca_s, hd_s, cd_s = pl.pallas_call(
+    ta = t_enc * adim
+    frames, attns, ha_s, ca_s, hd_s, cd_s, th_s = pl.pallas_call(
         kern,
         grid=(t_dec,),
         in_specs=[
@@ -295,6 +299,7 @@ def decoder_fwd_train_mega(cfg: ModelConfig, params: Dict[str, Any],
             row((b, n_mels + 1)),
             row((b, t_enc)),
             row((b, h)), row((b, h)), row((b, h)), row((b, h)),
+            row((b, ta)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_dec, b, n_mels + 1), f32),
@@ -303,6 +308,7 @@ def decoder_fwd_train_mega(cfg: ModelConfig, params: Dict[str, Any],
             jax.ShapeDtypeStruct((t_dec, b, h), f32),
             jax.ShapeDtypeStruct((t_dec, b, h), cdt),
             jax.ShapeDtypeStruct((t_dec, b, h), f32),
+            jax.ShapeDtypeStruct((t_dec, b, ta), cdt),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, h), f32),
@@ -328,4 +334,4 @@ def decoder_fwd_train_mega(cfg: ModelConfig, params: Dict[str, Any],
 
     mels = frames[..., :n_mels]
     gates = frames[..., n_mels]
-    return (mels, gates, attns), (ha_s, ca_s, hd_s, cd_s)
+    return (mels, gates, attns), (ha_s, ca_s, hd_s, cd_s, th_s)

@@ -46,17 +46,22 @@ def setup():
 
 
 def run_both(setup_vals, loss_fn):
+    """Value-and-grad through BOTH Pallas kernels (forward + reverse
+    dx-chain, ops/decoder_bwd_kernel.py) vs the XLA scan path —
+    differentiating w.r.t. params AND the prenet/memory/pm inputs so
+    every cotangent the custom backward emits is compared."""
     core, pre, memory, pm, mask, keys = setup_vals
 
-    def loss(c):
-        out = decoder_scan_bptt(SMALL, c, pre, memory, pm, mask, keys)
+    def loss(c, p_in, m_in, pm_in):
+        out = decoder_scan_bptt(SMALL, c, p_in, m_in, pm_in, mask, keys)
         return loss_fn(out)
 
     res = {}
     for flag in ("0", "1"):
         os.environ["TACOTRON2_MEGA_TRAIN"] = flag
         jax.clear_caches()
-        res[flag] = jax.value_and_grad(loss)(core)
+        res[flag] = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+            core, pre, memory, pm)
     return res["0"], res["1"]
 
 
