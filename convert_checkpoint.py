@@ -44,6 +44,8 @@ def jax2torch(src: str, dst: str) -> None:
 
 
 if __name__ == "__main__":
+    from tacotron2_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()  # also honors JAX_PLATFORMS=cpu (no chip needed)
     parser = argparse.ArgumentParser()
     parser.add_argument("direction", choices=["torch2jax", "jax2torch"])
     parser.add_argument("src", type=str)

@@ -13,8 +13,22 @@ _DEFAULT_DIR = os.path.expanduser("~/.cache/jax_comp_tacotron2")
 
 
 def enable_persistent_cache(cache_dir: str | None = None) -> None:
-    """Enable the JAX persistent compilation cache (idempotent)."""
+    """Enable the JAX persistent compilation cache (idempotent).
+
+    Also re-asserts the ``JAX_PLATFORMS`` env var as the active platform:
+    this image's sitecustomize forces ``jax_platforms`` to the hardware
+    plugin at import time, overriding the env var — so a CLI launched with
+    ``JAX_PLATFORMS=cpu`` (tests, conversion tools, machines where the
+    chip is held by another tenant) would otherwise block retrying the
+    device tunnel instead of running on CPU as asked.
+    """
     import jax
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass  # backend already initialized: keep whatever is active
     try:
         jax.config.update("jax_compilation_cache_dir",
                           cache_dir or os.environ.get(

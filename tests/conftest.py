@@ -21,7 +21,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms",
                   os.environ.get("TACOTRON2_TEST_PLATFORM", "cpu"))
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp_tacotron2"))
+                  os.environ.get("TACOTRON2_COMPILE_CACHE",
+                                 os.path.expanduser("~/.cache/jax_comp_tacotron2")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
@@ -31,3 +32,52 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
+
+
+# --- mmap-count pressure management -----------------------------------
+# One pytest process compiles hundreds of XLA executables; each holds
+# dozens-to-thousands of small mappings, and the suite reaches ~63k maps
+# by its last file — past Linux's default vm.max_map_count of 65530 the
+# kernel fails mmap() and XLA segfaults inside executable
+# (de)serialization (observed deterministically at the same test).
+# Raise the limit when permitted; otherwise shed executables once the
+# process nears the ceiling.
+
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
+def _map_limit() -> int:
+    try:
+        with open("/proc/sys/vm/max_map_count") as f:
+            return int(f.read())
+    except (OSError, ValueError):
+        return 65530
+
+
+try:  # root (containers/CI images): lift the ceiling outright
+    if _map_limit() < 262144:
+        with open("/proc/sys/vm/max_map_count", "w") as f:
+            f.write("262144")
+except OSError:
+    pass
+
+_MAP_SOFT_LIMIT = int(_map_limit() * 0.8)
+_maplog = os.environ.get("TACOTRON2_MAPLOG")
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    yield
+    n = _map_count()
+    if _maplog:
+        with open(_maplog, "a") as f:
+            f.write(f"{n}\t{item.nodeid}\n")
+    if n > _MAP_SOFT_LIMIT:
+        import gc
+        jax.clear_caches()
+        gc.collect()

@@ -78,3 +78,31 @@ class TestInferenceRobustness:
         m = np.asarray(out.mel_postnet)
         np.testing.assert_allclose(m[0], m[1], atol=1e-5)
         np.testing.assert_allclose(m[0], m[2], atol=1e-5)
+
+
+class TestPlatformPinning:
+    def test_jax_platforms_env_survives_sitecustomize(self):
+        """A CLI launched with JAX_PLATFORMS=cpu must actually run on CPU.
+
+        This image's sitecustomize forces jax_platforms to the hardware
+        plugin at `import jax`, overriding the env var — so without the
+        re-assert in enable_persistent_cache() a cpu-pinned subprocess
+        blocks retrying the device tunnel whenever another tenant holds
+        the time-shared chip (observed as tools/eval_quality.py hanging
+        to its 600 s timeout mid-suite).
+        """
+        import os
+        import subprocess
+        import sys
+
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "from tacotron2_tpu.utils.cache import enable_persistent_cache\n"
+             "enable_persistent_cache()\n"
+             "import jax\n"
+             "print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=300, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert proc.stdout.strip().splitlines()[-1] == "cpu"
