@@ -63,6 +63,16 @@ class ShardedSynthesizer:
             raise ValueError(f"mesh must have a 'data' axis, has "
                              f"{mesh.axis_names}")
         self.cfg = cfg or Config()
+        if mesh.size > 1 and self.cfg.model.decoder_megakernel:
+            # Pallas custom calls carry no GSPMD partitioning rule: under
+            # a multi-device mesh the inference megakernel would force the
+            # partitioner to replicate the global batch onto every core
+            # instead of sharding it, so mesh serving always takes the
+            # while_loop decode, whose matmuls XLA partitions.
+            import dataclasses
+            self.cfg = dataclasses.replace(
+                self.cfg, model=dataclasses.replace(
+                    self.cfg.model, decoder_megakernel=False))
         self.mesh = mesh
         self.n_data = mesh.shape["data"]
         self.gl_iters = gl_iters

@@ -80,7 +80,12 @@ def megakernel_enabled(cfg: ModelConfig, b: int = 1, t_enc: int = 128,
     """Route eval-mode decode through the megakernel?  Env kill-switch
     TACOTRON2_MEGA_DECODER overrides the config; TPU backends only, and
     only when the resident working set fits VMEM (large batches fall
-    back to the while_loop path, which is batch-amortized anyway)."""
+    back to the while_loop path, which is batch-amortized anyway).
+
+    Single-core only: a Pallas custom call has no GSPMD partitioning
+    rule, so mesh users (train/loop.py, infer/sharded.py, the dryrun
+    entry) clear ``cfg.decoder_megakernel`` when ``mesh.size > 1`` and
+    take the while_loop path, whose matmuls XLA partitions."""
     flag = os.environ.get("TACOTRON2_MEGA_DECODER")
     if flag is not None and flag in ("0", "false", "no"):
         return False

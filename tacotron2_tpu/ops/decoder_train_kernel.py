@@ -84,7 +84,13 @@ def train_megakernel_enabled(cfg: ModelConfig, b: int, t_enc: int,
     """Use the Pallas forward for the split-BPTT scan?  Requires TPU (or
     the env force-flag, for interpret-mode tests), the fused-attention
     numerics (the backward recompute mirrors them), and the resident
-    working set fitting VMEM."""
+    working set fitting VMEM.
+
+    Single-core only: a Pallas custom call has no GSPMD partitioning
+    rule, so the training loop clears ``cfg.decoder_megakernel`` when it
+    builds a multi-device mesh (train/loop.py) and sharded training runs
+    the scan path; the VMEM estimate here is computed on the traced
+    (global) batch shape and is only meaningful single-core."""
     flag = os.environ.get("TACOTRON2_MEGA_TRAIN")
     if flag is not None:
         if flag in ("0", "false", "no"):

@@ -280,6 +280,15 @@ def train(metadata_path: str, checkpoint_dir: str, *,
         from ..parallel import make_mesh, shard_train_state
         mesh = make_mesh(n_data=n_data, n_model=tp)
         state = shard_train_state(mesh, state, tensor_parallel=tp > 1)
+        if mesh.size > 1 and cfg.model.decoder_megakernel:
+            # Pallas custom calls carry no GSPMD partitioning rule: under
+            # a multi-device mesh the decoder megakernels would force the
+            # partitioner to replicate the GLOBAL batch onto every core
+            # (and their VMEM gate is estimated on the global shape), so
+            # sharded training uses the scan path, whose matmuls XLA
+            # partitions over the mesh.
+            cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+                cfg.model, decoder_megakernel=False))
         if tp > 1:
             logger.log(f"SPMD mesh: data={n_data} x model={tp} "
                        f"(tensor parallel), {n_proc} processes, "
