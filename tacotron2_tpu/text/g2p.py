@@ -195,6 +195,19 @@ def letter_to_sound(word: str) -> List[str]:
     final-obstruent voicing assimilation for ``-s``.
     """
     word = word.lower()
+
+    # Word-final suffix with known phonology (longest first), matched on
+    # the RAW spelling — before the doubled-consonant collapse, which
+    # would otherwise make every suffix containing a double ("ette",
+    # "ness", "less") unmatchable ("brunette" -> "brunete").
+    suffix_phones: Tuple[str, ...] = ()
+    stress_mode = "stem"
+    for suf, ph, mode in _LTS_SUFFIXES:
+        if word.endswith(suf) and len(word) > len(suf) + 2:
+            word = word[: -len(suf)]
+            suffix_phones, stress_mode = ph, mode
+            break
+
     # collapse doubled consonants ("tomassetti" -> tomaseti)
     out_chars: List[str] = []
     for ch in word:
@@ -210,15 +223,6 @@ def letter_to_sound(word: str) -> List[str]:
     for onset in _SILENT_ONSETS:
         if word.startswith(onset) and len(word) > len(onset) + 1:
             word = word[1:]
-            break
-
-    # word-final suffix with known phonology (longest first)
-    suffix_phones: Tuple[str, ...] = ()
-    stress_mode = "stem"
-    for suf, ph, mode in _LTS_SUFFIXES:
-        if word.endswith(suf) and len(word) > len(suf) + 2:
-            word = word[: -len(suf)]
-            suffix_phones, stress_mode = ph, mode
             break
 
     # Drop a silent final 'e' ("blake" -> blak).

@@ -116,14 +116,26 @@ class TestLetterToSound:
     def test_final_y_is_vowel(self):
         assert letter_to_sound("blicky")[-1] == "IY0"
 
+    def test_doubled_consonant_suffixes_match_raw_spelling(self):
+        # -ette/-ness/-less contain doubles: they must match the raw
+        # word, before the doubled-consonant collapse rewrites it
+        assert letter_to_sound("brunette")[-2:] == ["EH1", "T"]
+        assert [p for p in letter_to_sound("brunette")
+                if p.endswith("1")] == ["EH1"]
+        assert letter_to_sound("darkness")[-3:] == ["N", "AH0", "S"]
+        assert letter_to_sound("helpless")[-3:] == ["L", "AH0", "S"]
+
 
 class TestG2pHeldOutAccuracy:
     """Tracked floors for the OOV cascade, measured by holding real
     CMUdict words out of the lexicon (tools/eval_g2p.py).  r2 baseline on
     this sample: 35% stress-blind word accuracy / 21.5% PER; the r3 LTS
-    rewrite reached 41.6% / 17.3% (n=8000).  Floors sit below the
-    measured values so normal lexicon drift doesn't flake, but any
-    regression toward the old LTS trips them."""
+    rewrite reached 41.6% / 17.3% (n=8000), and matching the suffix
+    table on the raw spelling BEFORE the doubled-consonant collapse
+    (doubles like -ette/-ness/-less were unmatchable) 42.4% / 16.8%
+    (n=4000).  Floors sit below the measured values so normal lexicon
+    drift doesn't flake, but any regression toward the old LTS trips
+    them."""
 
     def test_heldout_floors(self):
         import os
