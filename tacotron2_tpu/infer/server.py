@@ -13,10 +13,12 @@ Requests synthesize through the same pipeline as the CLI
 (16-multiples) so steady-state traffic reuses a handful of compiled
 programs.
 
-Two service variants:
+Two service variants (``serve()`` always runs the batching one, so the
+backpressure bound and request timeout apply in every mode —
+``max_batch=1`` just serializes requests through the worker):
 
-  * :class:`TTSService` — one request per device dispatch (lowest
-    latency at trivial load).
+  * :class:`TTSService` — one request per device dispatch (the base
+    synthesis service; also usable directly as a library).
   * :class:`BatchingTTSService` — dynamic micro-batching: concurrent
     requests are coalesced into ONE batched decode by a single device
     worker.  Batched decode is the chip's throughput lever (measured:
@@ -668,29 +670,23 @@ def serve(checkpoint_path: str, host: str = "127.0.0.1", port: int = 8080,
           ) -> ThreadingHTTPServer:
     """Start the TTS server (blocking).  Returns the server on shutdown.
 
-    ``max_batch`` > 1 serves through :class:`BatchingTTSService` (dynamic
-    micro-batching of concurrent requests); ``max_batch=1`` uses the
-    plain per-request service.  ``vocoder_chunk_frames`` bounds the
-    HiFi-GAN generator's peak activation memory (exact chunked
-    evaluation) for large-batch/long-utterance configurations.
-    ``max_queue`` bounds the batching queue (overflow -> 503 +
-    Retry-After); ``request_timeout_s`` bounds a request's total service
-    time (expiry -> 504).
+    Always serves through :class:`BatchingTTSService` so the
+    backpressure bound (``max_queue`` -> 503 + Retry-After on overflow)
+    and ``request_timeout_s`` (expiry -> 504) are honored in every mode;
+    ``max_batch=1`` simply serializes requests through the worker
+    without coalescing.  ``vocoder_chunk_frames`` bounds the HiFi-GAN
+    generator's peak activation memory (exact chunked evaluation) for
+    large-batch/long-utterance configurations.
     """
-    if max_batch > 1:
-        service: TTSService = BatchingTTSService(
-            checkpoint_path, cfg, griffinlim_iters, bf16=bf16,
-            max_batch=max_batch, batch_window_ms=batch_window_ms,
-            vocoder_chunk_frames=vocoder_chunk_frames,
-            max_queue=max_queue, request_timeout_s=request_timeout_s)
-        mode = (f"micro-batching <= {max_batch}, "
-                f"window {batch_window_ms:g} ms, "
-                f"queue <= {max_queue}")
-    else:
-        service = TTSService(checkpoint_path, cfg, griffinlim_iters,
-                             bf16=bf16,
-                             vocoder_chunk_frames=vocoder_chunk_frames)
-        mode = "per-request"
+    service = BatchingTTSService(
+        checkpoint_path, cfg, griffinlim_iters, bf16=bf16,
+        max_batch=max_batch, batch_window_ms=batch_window_ms,
+        vocoder_chunk_frames=vocoder_chunk_frames,
+        max_queue=max_queue, request_timeout_s=request_timeout_s)
+    mode = ("per-request (serialized)" if max_batch == 1 else
+            f"micro-batching <= {max_batch}, "
+            f"window {batch_window_ms:g} ms")
+    mode += f", queue <= {max_queue}"
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     print(f"TTS server listening on http://{host}:{port} "
           f"(POST /synthesize, GET /healthz; {mode})")
@@ -699,6 +695,5 @@ def serve(checkpoint_path: str, host: str = "127.0.0.1", port: int = 8080,
     except KeyboardInterrupt:
         pass
     finally:
-        if isinstance(service, BatchingTTSService):
-            service.close()
+        service.close()
     return httpd

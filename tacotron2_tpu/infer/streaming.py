@@ -111,9 +111,17 @@ def _refine_stream(params, model_state, mcfg: ModelConfig, coarse_gen,
     def refine(buf: np.ndarray, lo: int, hi: int,
                pad: bool = True) -> np.ndarray:
         t = buf.shape[0]
-        if pad and t < bufmax:
+        # Mid-stream, bufmax padding is cosmetic (the emit region's cone
+        # stays inside the real frames).  On a gate-stop FLUSH the last
+        # emitted frame's cone genuinely reads r zero frames past the
+        # end (the offline buffer's trailing zeros), and when
+        # chunk_frames < r, bufmax = 2r + chunk_frames leaves fewer than
+        # r rows after a full 2r-frame flush buffer — so pad to at least
+        # hi + r real-or-zero rows (one extra compile, flush-only).
+        target = max(bufmax, hi + r)
+        if pad and t < target:
             buf = np.concatenate(
-                [buf, np.zeros((bufmax - t, n_mels), np.float32)])
+                [buf, np.zeros((target - t, n_mels), np.float32)])
         out = np.asarray(_postnet_window(params, model_state, mcfg,
                                          jnp.asarray(buf)))
         return out[lo:hi]

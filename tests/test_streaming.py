@@ -114,3 +114,36 @@ class TestStreaming:
         mono = np.asarray(out.mel_postnet)[0, :int(n)]
         assert streamed.shape == mono.shape == (2, 80)
         np.testing.assert_allclose(streamed, mono, atol=1e-4)
+
+    def test_refine_stream_small_chunk_gate_flush_parity(self):
+        """Small chunk_frames: a gate-stop flush with a full 2r-frame
+        buffer needs r-2 zero rows past the last emitted frame (the
+        deepest layer-1 phantom BatchNorm activation its cone reads;
+        input-level zeros equal conv SAME padding).  Regression: bufmax
+        = 2r + chunk_frames left only chunk_frames rows, so for
+        chunk_frames < r-2 the tail frames' cones ran off the window."""
+        from tacotron2_tpu.infer.streaming import (_postnet_window,
+                                                   _refine_stream)
+        params, state = tacotron2_init(jax.random.PRNGKey(2), SMALL.model)
+        mcfg = SMALL.model
+        r = mcfg.postnet_n_convolutions * \
+            ((mcfg.postnet_kernel_size - 1) // 2)
+        t_total, cf = 25, 4
+        assert cf < r - 2
+        rng = np.random.default_rng(0)
+        coarse = rng.standard_normal(
+            (t_total, mcfg.n_mels)).astype(np.float32)
+
+        def gen():
+            for i in range(0, t_total, cf):
+                yield coarse[i:i + cf]
+            return "gate"
+
+        streamed = np.concatenate(list(_refine_stream(
+            params, state, mcfg, gen(), cf)))
+        offline_buf = np.concatenate(
+            [coarse, np.zeros((r + 4, mcfg.n_mels), np.float32)])
+        offline = np.asarray(_postnet_window(
+            params, state, mcfg, jnp.asarray(offline_buf)))[:t_total]
+        assert streamed.shape == offline.shape
+        np.testing.assert_allclose(streamed, offline, atol=1e-4)
