@@ -614,3 +614,37 @@ class TestBackpressure:
             assert ei.value.headers.get("Retry-After") == "2"
         finally:
             httpd.shutdown()
+
+    def test_serve_wires_batching_service_at_max_batch_1(self, monkeypatch):
+        """Regression: serve(max_batch=1) used to fall back to the plain
+        per-request service, silently ignoring max_queue and
+        request_timeout_s.  Pin that every mode routes through
+        BatchingTTSService with the backpressure knobs intact."""
+        from tacotron2_tpu.infer import server as srv
+
+        made = {}
+
+        class FakeService:
+            def __init__(self, *a, **kw):
+                made.update(kw)
+                made["args"] = a
+                made["closed"] = False
+
+            def close(self):
+                made["closed"] = True
+
+        class FakeHTTPServer:
+            def __init__(self, addr, handler):
+                made["addr"] = addr
+
+            def serve_forever(self):
+                raise KeyboardInterrupt   # unblock serve() immediately
+
+        monkeypatch.setattr(srv, "BatchingTTSService", FakeService)
+        monkeypatch.setattr(srv, "ThreadingHTTPServer", FakeHTTPServer)
+        srv.serve("unused_ckpt", port=0, max_batch=1, max_queue=7,
+                  request_timeout_s=1.5)
+        assert made["max_batch"] == 1
+        assert made["max_queue"] == 7
+        assert made["request_timeout_s"] == 1.5
+        assert made["closed"]
