@@ -184,6 +184,143 @@ def _stress_postpass(phones: List[str], primary_idx: Optional[int]
     return out
 
 
+# ---------------------------------------------------------------------------
+# Romance (Italian/Spanish-shaped) LTS sub-path.  CMUdict's OOV tail is
+# dense in Romance surnames (-ano/-ini/-ola/...), whose orthography is
+# nearly phonemic under a DIFFERENT rule set than English: pure vowel
+# qualities, penultimate primary stress, soft c/g only before i/e (with
+# ci/gi + vowel as bare affricates), ch/gh hard, and NO vowel reduction
+# on unstressed syllables (CMUdict keeps full quality: "napoletano" ->
+# N AA0 P OW0 L EH0 T AA1 N OW0).
+
+_ROMANCE_V = {"a": "AA", "e": "EH", "i": "IY", "o": "OW", "u": "UW"}
+_ROMANCE_C = {"b": ("B",), "d": ("D",), "f": ("F",), "g": ("G",),
+              "l": ("L",), "m": ("M",), "n": ("N",), "p": ("P",),
+              "q": ("K",), "r": ("R",), "t": ("T",), "v": ("V",),
+              "z": ("Z",), "c": ("K",), "s": ("S",), "h": ()}
+
+
+def _romance_shape(word: str) -> bool:
+    """Italian/Spanish-shaped: vowel-final, polysyllabic, and free of
+    letters/digraphs their orthographies lack (k w x y j, th, sh)."""
+    if len(word) < 6 or word[-1] not in "aio":
+        return False
+    if any(c in word for c in "kwxyj") or "th" in word or "sh" in word:
+        return False
+    groups, in_v = 0, False
+    for ch in word:
+        is_v = ch in "aeiou"
+        if is_v and not in_v:
+            groups += 1
+        in_v = is_v
+    return groups >= 3
+
+
+def _romance_lts(word: str) -> List[str]:
+    phones: List[str] = []
+    vowel_idx: List[int] = []          # positions in ``phones`` of vowels
+    i, n = 0, len(word)
+
+    def emit_vowel(ch: str) -> None:
+        vowel_idx.append(len(phones))
+        phones.append(_ROMANCE_V[ch])
+
+    while i < n:
+        ch = word[i]
+        # doubled consonants: the second copy carries the sound ("cci"
+        # falls through to the soft-c rule, "ss" stays /S/ because the
+        # intervocalic check sees the raw 's' neighbor); 'zz' is the
+        # affricate /T S/ ("palazzolo").
+        if ch not in "aeiou" and i + 1 < n and word[i + 1] == ch:
+            if ch == "z":
+                phones.extend(("T", "S"))
+                i += 2
+            else:
+                i += 1
+            continue
+        if word.startswith("sci", i):
+            if i + 3 < n and word[i + 3] in "aeiou":
+                phones.append("SH")        # scia/scio -> /SH/ + vowel
+                i += 3
+            else:
+                phones.append("SH")
+                emit_vowel("i")
+                i += 3
+            continue
+        if word.startswith("sce", i):
+            phones.append("SH")
+            emit_vowel("e")
+            i += 3
+            continue
+        if word.startswith("sch", i):      # "schi" hard: /S K/
+            phones.extend(("S", "K"))
+            i += 3
+            continue
+        if word.startswith("ch", i):
+            phones.append("K")
+            i += 2
+            continue
+        if word.startswith("gh", i):
+            phones.append("G")
+            i += 2
+            continue
+        if word.startswith("gn", i):
+            phones.extend(("N", "Y"))
+            i += 2
+            continue
+        if word.startswith("gli", i) and i > 0:
+            phones.extend(("G", "L"))      # CMUdict: rutigliano -> G L IY
+            i += 2
+            continue
+        if ch in "cg" and i + 1 < n and word[i + 1] in "ie":
+            aff = "CH" if ch == "c" else "JH"
+            if word[i + 1] == "i":
+                if i + 2 < n and word[i + 2] in "aeou":
+                    phones.append(aff)     # gia/gio/giu: bare affricate
+                    i += 2
+                else:
+                    phones.append(aff)     # gi + consonant: /JH IY/
+                    emit_vowel("i")
+                    i += 2
+            else:
+                phones.append(aff)
+                emit_vowel("e")
+                i += 2
+            continue
+        if ch == "s" and 0 < i < n - 1 and word[i - 1] in "aeiou" \
+                and word[i + 1] in "aeiou":
+            phones.append("Z")             # single intervocalic s
+            i += 1
+            continue
+        if ch == "q":
+            phones.append("K")
+            if i + 1 < n and word[i + 1] == "u":
+                phones.append("W")
+                i += 1
+            i += 1
+            continue
+        if ch in _ROMANCE_V:
+            emit_vowel(ch)
+            i += 1
+            continue
+        phones.extend(_ROMANCE_C.get(ch, ()))
+        i += 1
+
+    # Penultimate-vowel primary stress; other vowels keep full quality
+    # at stress 0; word-final 'a' reduces to AH0 (CMUdict convention).
+    if vowel_idx:
+        primary = vowel_idx[-2] if len(vowel_idx) >= 2 else vowel_idx[0]
+        for j, pos in enumerate(vowel_idx):
+            if pos == len(phones) - 1 and phones[pos] == "AA" \
+                    and word[-1] == "a":
+                phones[pos] = "AH0"
+            elif pos == primary:
+                phones[pos] += "1"
+            else:
+                phones[pos] += "0"
+    return phones
+
+
 def letter_to_sound(word: str) -> List[str]:
     """Rule-based fallback pronunciation for an OOV word.
 
@@ -195,6 +332,11 @@ def letter_to_sound(word: str) -> List[str]:
     final-obstruent voicing assimilation for ``-s``.
     """
     word = word.lower()
+
+    # Romance-shaped words (Italian/Spanish surnames dominate CMUdict's
+    # OOV tail) take the dedicated phonemic rule set.
+    if _romance_shape(word):
+        return _romance_lts(word)
 
     # Word-final suffix with known phonology (longest first), matched on
     # the RAW spelling — before the doubled-consonant collapse, which
@@ -362,18 +504,36 @@ class G2p:
                 return hit
         return None
 
+    @staticmethod
+    def _plausible_half(spelling: str, phones: Sequence[str]) -> bool:
+        """Reject lexicon halves that are really abbreviations: a
+        pronunciation with more vowel PHONES than the spelling has vowel
+        LETTER GROUPS is letter-spelling ("mit" -> /EH M AY T IY/,
+        "abs" -> /EY B IY EH S/) or an expansion ("nov" -> /november/),
+        and poisons compound splits ("commit" != com + M.I.T.)."""
+        if len(phones) > 2 * len(spelling):
+            return False
+        groups, in_v = 0, False
+        for ch in spelling:
+            is_v = ch in "aeiouy"
+            if is_v and not in_v:
+                groups += 1
+            in_v = is_v
+        vowels = sum(1 for p in phones if _strip_digit(p) in _VOWEL_PH)
+        return vowels <= groups
+
     def _compound(self, word: str) -> Optional[Tuple[str, ...]]:
         """Split an OOV into two lexicon words (longest first part wins):
         "woodcutters" -> wood + cutters.  Both halves must be ≥3 letters
         so short function words don't produce junk splits; halves whose
-        pronunciation is implausibly long for their spelling are rejected
-        (CMUdict abbreviation entries like "nov" -> /november/ would
-        otherwise poison the split).  English compound stress: the second
+        pronunciation is implausible for their spelling are rejected
+        (see ``_plausible_half``).  English compound stress: the second
         element's primary stress demotes to secondary."""
         for i in range(len(word) - 3, 2, -1):
             a, b = self._lookup(word[:i]), self._lookup(word[i:])
             if a is not None and b is not None:
-                if len(a) > 2 * i or len(b) > 2 * (len(word) - i):
+                if not (self._plausible_half(word[:i], a)
+                        and self._plausible_half(word[i:], b)):
                     continue
                 demoted = tuple(p[:-1] + "2" if p.endswith("1") else p
                                 for p in b)

@@ -126,14 +126,72 @@ class TestLetterToSound:
         assert letter_to_sound("helpless")[-3:] == ["L", "AH0", "S"]
 
 
+class TestRomanceLts:
+    """Italian/Spanish-shaped OOVs (vowel-final polysyllables without
+    k/w/x/y/j/th/sh) take the phonemic Romance rule set: pure vowel
+    qualities, penultimate primary stress, ci/gi affricates, and no
+    vowel reduction on unstressed syllables.  Goldens are CMUdict
+    entries (held out at eval time)."""
+
+    @pytest.mark.parametrize("word,truth", [
+        ("napoletano", "N AA0 P OW0 L EH0 T AA1 N OW0"),
+        ("olivero", "OW0 L IY0 V EH1 R OW0"),
+        ("rutigliano", "R UW0 T IY0 G L IY0 AA1 N OW0"),
+    ])
+    def test_cmudict_exact(self, word, truth):
+        assert " ".join(letter_to_sound(word)) == truth
+
+    def test_affricates_and_double_z(self):
+        # gg+i -> bare /JH/, zz -> /T S/, final a -> AH0
+        assert "JH" in letter_to_sound("caggiano")
+        pal = letter_to_sound("palazzolo")
+        assert ["T", "S"] == [p for p in pal if p in ("T", "S")]
+        assert letter_to_sound("garagiola")[-1] == "AH0"
+
+    def test_english_words_keep_english_rules(self):
+        # consonant-final, th-containing, or y/k/w-bearing words never
+        # take the Romance path
+        from tacotron2_tpu.text.g2p import _romance_shape
+        for w in ("brunette", "darkness", "thermato", "blicky",
+                  "woodcutters"):
+            assert not _romance_shape(w), w
+
+
+class TestCompoundPlausibility:
+    """Compound halves that are really CMUdict abbreviation entries
+    (letter-spellings like "mit" -> /EH M AY T IY/) must be rejected,
+    not glued into junk ("commit" != com + M.I.T.)."""
+
+    def test_initialism_halves_rejected(self):
+        g2p = G2p()
+        # 'commit' and 'absher' held out of the lexicon -> must NOT
+        # resolve via a letter-spelled compound half
+        lex = dict(g2p._lexicon)
+        for w in ("commit", "absher"):
+            lex.pop(w, None)
+        g2p2 = G2p(lexicon=lex)
+        for w in ("commit", "absher"):
+            phones = list(g2p2.pronounce(w))
+            # letter-spelling artifacts: a run like EH M AY T IY
+            assert "AY2" not in phones and "IY2" not in phones, (w, phones)
+
+    def test_real_compounds_still_split(self):
+        g2p = G2p()
+        lex = dict(g2p._lexicon)
+        lex.pop("woodcutters", None)
+        g2p2 = G2p(lexicon=lex)
+        phones = list(g2p2.pronounce("woodcutters"))
+        assert phones[:2] == ["W", "UH1"] and phones[-1] == "Z"
+
+
 class TestG2pHeldOutAccuracy:
     """Tracked floors for the OOV cascade, measured by holding real
     CMUdict words out of the lexicon (tools/eval_g2p.py).  r2 baseline on
     this sample: 35% stress-blind word accuracy / 21.5% PER; the r3 LTS
-    rewrite reached 41.6% / 17.3% (n=8000), and matching the suffix
-    table on the raw spelling BEFORE the doubled-consonant collapse
-    (doubles like -ette/-ness/-less were unmatchable) 42.4% / 16.8%
-    (n=4000).  Floors sit below the measured values so normal lexicon
+    rewrite reached 41.6% / 17.3% (n=8000); the suffix-before-collapse
+    fix 42.4% / 16.8% (n=4000); and the Romance LTS sub-path + the
+    compound initialism filter 43.4% / 16.0% (n=4000), 42.5% / 16.4%
+    (n=8000).  Floors sit below the measured values so normal lexicon
     drift doesn't flake, but any regression toward the old LTS trips
     them."""
 
