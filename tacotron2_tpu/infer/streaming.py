@@ -126,13 +126,21 @@ def _refine_stream(params, model_state, mcfg: ModelConfig, coarse_gen,
                                          jnp.asarray(buf)))
         return out[lo:hi]
 
-    end_reason = "cap"
+    end_reason, tail = "cap", 0
     gen = iter(coarse_gen)
     while True:
         try:
             chunk = next(gen)
         except StopIteration as stop:
-            end_reason = stop.value or "cap"
+            # ("gate", zero_tail): zero_tail = how many REAL zero rows
+            # the offline buffer holds past the stop (max_steps - n).
+            if isinstance(stop.value, tuple):
+                end_reason, tail = stop.value
+            else:
+                # bare reason string: a gate stop with unspecified tail
+                # assumes ample offline zeros (the pre-tuple contract)
+                end_reason = stop.value or "cap"
+                tail = r if end_reason == "gate" else 0
             break
         body = np.concatenate([pending, np.asarray(chunk, np.float32)])
         emit = body.shape[0] - r
@@ -146,8 +154,18 @@ def _refine_stream(params, model_state, mcfg: ModelConfig, coarse_gen,
         pending = body[emit:]
     if pending.shape[0]:
         buf = np.concatenate([left, pending])
-        yield refine(buf, left.shape[0], buf.shape[0],
-                     pad=(end_reason == "gate"))
+        if end_reason == "gate" and tail < r:
+            # Gate fired within r frames of the step cap: the offline
+            # buffer holds only ``tail`` real zero rows before it ENDS
+            # (per-layer conv SAME padding there).  Reproduce exactly:
+            # append those zeros and run the window at its true length.
+            buf = np.concatenate(
+                [buf, np.zeros((tail, n_mels), np.float32)])
+            yield refine(buf, left.shape[0], buf.shape[0] - tail,
+                         pad=False)
+        else:
+            yield refine(buf, left.shape[0], buf.shape[0],
+                         pad=(end_reason == "gate"))
 
 
 def stream_mels(params, model_state, text: str,
@@ -216,8 +234,12 @@ def stream_mels(params, model_state, text: str,
             end = int(fired[0]) + 1
             if end:
                 yield mels_np[:end]
-            return "gate"   # generator return value: why the stream ended
+            # why the stream ended + how many real zero rows the offline
+            # max_steps buffer holds past the stop (postnet flush needs
+            # this to reproduce offline semantics when the gate fires
+            # within the postnet radius of the cap)
+            return ("gate", max_steps - (produced + end))
         produced += k
         if k:
             yield mels_np
-    return "cap"
+    return ("cap", 0)

@@ -85,11 +85,15 @@ def megakernel_enabled(cfg: ModelConfig, b: int = 1, t_enc: int = 128,
     Single-core only: a Pallas custom call has no GSPMD partitioning
     rule, so mesh users (train/loop.py, infer/sharded.py, the dryrun
     entry) clear ``cfg.decoder_megakernel`` when ``mesh.size > 1`` and
-    take the while_loop path, whose matmuls XLA partitions."""
+    take the while_loop path, whose matmuls XLA partitions.  A cleared
+    config is AUTHORITATIVE: the env force-flag can only enable the
+    kernel where the config allows it (otherwise setting
+    TACOTRON2_MEGA_DECODER=1 would silently re-insert the
+    un-partitionable custom call under a mesh)."""
+    if not bool(getattr(cfg, "decoder_megakernel", True)):
+        return False
     flag = os.environ.get("TACOTRON2_MEGA_DECODER")
     if flag is not None and flag in ("0", "false", "no"):
-        return False
-    if flag is None and not bool(getattr(cfg, "decoder_megakernel", True)):
         return False
     if jax.default_backend() != "tpu":
         return False

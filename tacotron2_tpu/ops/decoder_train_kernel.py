@@ -90,15 +90,18 @@ def train_megakernel_enabled(cfg: ModelConfig, b: int, t_enc: int,
     rule, so the training loop clears ``cfg.decoder_megakernel`` when it
     builds a multi-device mesh (train/loop.py) and sharded training runs
     the scan path; the VMEM estimate here is computed on the traced
-    (global) batch shape and is only meaningful single-core."""
+    (global) batch shape and is only meaningful single-core.  A cleared
+    config is AUTHORITATIVE — the force-flag only applies where the
+    config allows the kernel (it exists to skip the TPU-backend check
+    for interpret-mode tests, not to override mesh gating)."""
+    if not bool(getattr(cfg, "decoder_megakernel", True)):
+        return False
     flag = os.environ.get("TACOTRON2_MEGA_TRAIN")
     if flag is not None:
         if flag in ("0", "false", "no"):
             return False
         # forced on (tests run the kernel in interpret mode off-TPU)
     else:
-        if not bool(getattr(cfg, "decoder_megakernel", True)):
-            return False
         if jax.default_backend() != "tpu":
             return False
     from ..models.attention import _fused_tail_enabled

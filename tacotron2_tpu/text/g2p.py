@@ -508,19 +508,16 @@ class G2p:
     def _plausible_half(spelling: str, phones: Sequence[str]) -> bool:
         """Reject lexicon halves that are really abbreviations: a
         pronunciation with more vowel PHONES than the spelling has vowel
-        LETTER GROUPS is letter-spelling ("mit" -> /EH M AY T IY/,
+        LETTERS is letter-spelling ("mit" -> /EH M AY T IY/,
         "abs" -> /EY B IY EH S/) or an expansion ("nov" -> /november/),
-        and poisons compound splits ("commit" != com + M.I.T.)."""
+        and poisons compound splits ("commit" != com + M.I.T.).
+        Counting vowel letters (not groups) keeps hiatus words — "lion"
+        /L AY AH N/ has two vowel phones for the one group "io"."""
         if len(phones) > 2 * len(spelling):
             return False
-        groups, in_v = 0, False
-        for ch in spelling:
-            is_v = ch in "aeiouy"
-            if is_v and not in_v:
-                groups += 1
-            in_v = is_v
+        letters = sum(1 for ch in spelling if ch in "aeiouy")
         vowels = sum(1 for p in phones if _strip_digit(p) in _VOWEL_PH)
-        return vowels <= groups
+        return vowels <= letters
 
     def _compound(self, word: str) -> Optional[Tuple[str, ...]]:
         """Split an OOV into two lexicon words (longest first part wins):

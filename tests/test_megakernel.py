@@ -86,3 +86,18 @@ class TestMegakernelParity:
         ref = decoder_infer(params, SMALL, memory, MAX, 0.5)
         got = decoder_infer_mega(params, SMALL, memory, MAX, 0.5)
         assert_parity(ref, got)
+
+
+class TestEnabledGating:
+    def test_cleared_config_beats_env_force(self, monkeypatch):
+        """Mesh users clear cfg.decoder_megakernel to keep the
+        un-partitionable Pallas call out of GSPMD programs; the env
+        force-flag must not silently re-enable it."""
+        import dataclasses
+
+        from tacotron2_tpu.ops.decoder_megakernel import megakernel_enabled
+        off = dataclasses.replace(SMALL, decoder_megakernel=False)
+        monkeypatch.setenv("TACOTRON2_MEGA_DECODER", "1")
+        assert not megakernel_enabled(off, b=1)
+        monkeypatch.delenv("TACOTRON2_MEGA_DECODER")
+        assert not megakernel_enabled(off, b=1)

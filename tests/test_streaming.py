@@ -147,3 +147,35 @@ class TestStreaming:
             params, state, mcfg, jnp.asarray(offline_buf)))[:t_total]
         assert streamed.shape == offline.shape
         np.testing.assert_allclose(streamed, offline, atol=1e-4)
+
+    def test_refine_stream_gate_near_cap_parity(self):
+        """Gate firing within r frames of max_steps: the offline buffer
+        holds only (max_steps - n) real zero rows before it ENDS, so
+        the flush must append exactly those zeros and run the window at
+        its true length instead of assuming r zeros exist."""
+        from tacotron2_tpu.infer.streaming import (_postnet_window,
+                                                   _refine_stream)
+        params, state = tacotron2_init(jax.random.PRNGKey(3), SMALL.model)
+        mcfg = SMALL.model
+        r = mcfg.postnet_n_convolutions * \
+            ((mcfg.postnet_kernel_size - 1) // 2)
+        t_total, cf, zero_tail = 25, 8, 3
+        assert zero_tail < r
+        rng = np.random.default_rng(1)
+        coarse = rng.standard_normal(
+            (t_total, mcfg.n_mels)).astype(np.float32)
+
+        def gen():
+            for i in range(0, t_total, cf):
+                yield coarse[i:i + cf]
+            return ("gate", zero_tail)
+
+        streamed = np.concatenate(list(_refine_stream(
+            params, state, mcfg, gen(), cf)))
+        # offline: max_steps buffer = frames + zero_tail zeros, then END
+        offline_buf = np.concatenate(
+            [coarse, np.zeros((zero_tail, mcfg.n_mels), np.float32)])
+        offline = np.asarray(_postnet_window(
+            params, state, mcfg, jnp.asarray(offline_buf)))[:t_total]
+        assert streamed.shape == offline.shape
+        np.testing.assert_allclose(streamed, offline, atol=1e-4)

@@ -190,8 +190,9 @@ class TestG2pHeldOutAccuracy:
     this sample: 35% stress-blind word accuracy / 21.5% PER; the r3 LTS
     rewrite reached 41.6% / 17.3% (n=8000); the suffix-before-collapse
     fix 42.4% / 16.8% (n=4000); and the Romance LTS sub-path + the
-    compound initialism filter 43.4% / 16.0% (n=4000), 42.5% / 16.4%
-    (n=8000).  Floors sit below the measured values so normal lexicon
+    compound initialism filter (vowel-letter counting keeps hiatus
+    halves like "lion") 43.6% / 15.8% (n=4000).  Floors sit below the
+    measured values so normal lexicon
     drift doesn't flake, but any regression toward the old LTS trips
     them."""
 

@@ -108,3 +108,20 @@ class TestTrainKernelParity:
                                           np.asarray(ref_a))
             np.testing.assert_array_equal(np.asarray(mkd[t]),
                                           np.asarray(ref_d))
+
+
+class TestEnabledGating:
+    def test_cleared_config_beats_env_force(self, monkeypatch):
+        """Same contract as the inference kernel: a cleared
+        cfg.decoder_megakernel (mesh gating) is authoritative over
+        TACOTRON2_MEGA_TRAIN=1 (which exists to skip the TPU-backend
+        check for interpret-mode tests, not to override mesh gating)."""
+        import dataclasses
+
+        from tacotron2_tpu.ops.decoder_train_kernel import (
+            train_megakernel_enabled)
+        off = dataclasses.replace(SMALL, decoder_megakernel=False)
+        monkeypatch.setenv("TACOTRON2_MEGA_TRAIN", "1")
+        assert not train_megakernel_enabled(off, 4, 32, jnp.float32)
+        monkeypatch.delenv("TACOTRON2_MEGA_TRAIN")
+        assert not train_megakernel_enabled(off, 4, 32, jnp.float32)
