@@ -54,7 +54,8 @@ _LTS_RULES: Tuple[Tuple[str, Tuple[str, ...]], ...] = (
     ("ea", ("IY1",)),
     ("ai", ("EY1",)),
     ("ay", ("EY1",)),
-    ("ei", ("EY1",)),
+    ("ei", ("AY1",)),     # OOVs skew German (-stein, -meier): AY beats
+                          # EY 101:10 among held-out 'ei' words
     ("ey", ("EY1",)),
     ("oa", ("OW1",)),
     ("ou", ("AW1",)),
