@@ -192,8 +192,9 @@ class TestG2pHeldOutAccuracy:
     fix 42.4% / 16.8% (n=4000); and the Romance LTS sub-path + the
     compound initialism filter (vowel-letter counting keeps hiatus
     halves like "lion") 43.6% / 15.8%, and the German-skewed ei->AY
-    flip 43.7% / 15.8% (n=4000).  Floors sit below the
-    measured values so normal lexicon
+    flip 43.7% / 15.8% (n=4000; the full r3 cascade measures
+    42.9% / 16.2% at n=8000 vs r2's 41.6% / 17.3%).  Floors sit below
+    the measured values so normal lexicon
     drift doesn't flake, but any regression toward the old LTS trips
     them."""
 
