@@ -38,6 +38,8 @@ _LTS_RULES: Tuple[Tuple[str, Tuple[str, ...]], ...] = (
     ("dge", ("JH",)),
     ("sch", ("SH",)),     # Germanic: schmidt, schuessler
     ("szcz", ("SH",)),    # Polish: szczepanski
+    ("tz", ("T", "S")),   # botz, katz: final obstruent devoices
+    ("dt", ("T",)),       # schmidt, schweighardt
     ("sz", ("SH",)),
     ("cz", ("CH",)),
     ("zz", ("T", "S")),   # Italian: palazzolo, lazzarini
@@ -100,6 +102,34 @@ _LTS_RULES: Tuple[Tuple[str, Tuple[str, ...]], ...] = (
 # Silent onsets: the first letter is not pronounced.
 _SILENT_ONSETS = ("kn", "wr", "gn", "pn", "ps", "mn")
 
+# Unstressed Latinate prefixes: in polysyllabic derived words the prefix
+# vowel reduces and primary stress falls later ("compressor" ->
+# K AH0 M P R EH1 S ER0, "denominate" -> D IH0 N AA1 M ...).  Applied on
+# the raw spelling only when the remaining stem still has >=2 vowel
+# groups (a short remainder means the "prefix" is really the stressed
+# first syllable: "demon", "recon").  Longest match first.
+_UNSTRESSED_PREFIXES: Tuple[Tuple[str, Tuple[str, ...]], ...] = (
+    ("pre", ("P", "R", "IY0")),
+    ("con", ("K", "AH0", "N")),
+    ("com", ("K", "AH0", "M")),
+    ("per", ("P", "ER0")),
+    ("sur", ("S", "ER0")),
+    ("de", ("D", "IH0")),
+    ("re", ("R", "IY0")),
+    ("ac", ("AH0", "K")),
+    ("ap", ("AH0", "P")),
+)
+
+
+def _vowel_groups(s: str) -> int:
+    groups, in_v = 0, False
+    for ch in s:
+        is_v = ch in "aeiouy"
+        if is_v and not in_v:
+            groups += 1
+        in_v = is_v
+    return groups
+
 # Word-final suffixes with fixed phonology, applied before the main
 # letter loop.  ``stress``: "steal" = the suffix carries the word's
 # primary stress; "pre" = primary falls on the syllable immediately
@@ -136,11 +166,28 @@ _LTS_SUFFIXES: Tuple[Tuple[str, Tuple[str, ...], str], ...] = (
     ("ory", ("ER0", "IY0"), "none"),
     ("age", ("IH0", "JH"), "none"),
     ("cide", ("S", "AY2", "D"), "none"),
+    ("ate", ("EY2", "T"), "none"),   # EY T 550 : 107 AH T in CMUdict
     ("ator", ("EY2", "T", "ER0"), "none"),
     ("ian", ("IY0", "AH0", "N"), "pre"),
     ("ic", ("IH0", "K"), "pre"),
     ("wicz", ("V", "IH0", "CH"), "none"),   # Polish: stefanowicz
     ("que", ("K",), "none"),                # French: telephonique
+    # Anglo surname/placename finals (the OOV tail is dense in them).
+    ("ville", ("V", "IH0", "L"), "none"),
+    ("stein", ("S", "T", "AY2", "N"), "none"),
+    ("berg", ("B", "ER0", "G"), "none"),
+    ("burg", ("B", "ER0", "G"), "none"),
+    ("ington", ("IH0", "NG", "T", "AH0", "N"), "none"),
+    ("son", ("S", "AH0", "N"), "none"),
+    ("ton", ("T", "AH0", "N"), "none"),
+    ("man", ("M", "AH0", "N"), "none"),
+    ("heim", ("HH", "AY2", "M"), "none"),
+    ("baum", ("B", "AW2", "M"), "none"),
+    ("worth", ("W", "ER0", "TH"), "none"),
+    # Word-final -or reduces to /ER/ ("professor", "taylor") — the
+    # mid-word or rule keeps its full vowel.  (-ar measured net-negative:
+    # the OOV tail's -ar finals are foreign loans that keep /AA R/.)
+    ("or", ("ER0",), "none"),
     ("fy", ("F", "AY0"), "none"),
     ("ey", ("IY0",), "none"),
     ("y", ("IY0",), "none"),
@@ -150,7 +197,7 @@ _VOWEL_PH = {"AA", "AE", "AH", "AO", "AW", "AY", "EH", "ER", "EY",
              "IH", "IY", "OW", "OY", "UH", "UW"}
 
 # Unstressed reductions for demoted vowels (full vowel -> reduced form).
-_REDUCE = {"AE": "AH", "AA": "AH", "EH": "IH", "IH": "IH", "AH": "AH",
+_REDUCE = {"AE": "AH", "AA": "AH", "EH": "AH", "IH": "IH", "AH": "AH",
            "AO": "AH", "OW": "OW", "IY": "IY", "EY": "EY", "AY": "AY",
            "AW": "AW", "OY": "OY", "UW": "UW", "UH": "AH", "ER": "ER"}
 
@@ -346,12 +393,39 @@ def letter_to_sound(word: str) -> List[str]:
     suffix_phones: Tuple[str, ...] = ()
     stress_mode = "stem"
     for suf, ph, mode in _LTS_SUFFIXES:
-        if word.endswith(suf) and len(word) > len(suf) + 2:
+        if word.endswith(suf) and len(word) > len(suf) + 1:
             word = word[: -len(suf)]
+            # seam dedupe: a stem-final letter equal to the suffix's
+            # first letter is the same sound ("jesson" -> jes|son, one
+            # /S/; "patton" -> pat|ton, one /T/)
+            if word and word[-1] == suf[0]:
+                word = word[:-1]
             suffix_phones, stress_mode = ph, mode
             break
 
+    # Unstressed Latinate prefix (raw spelling; see table).  The prefix
+    # phones bypass the stress post-pass entirely, so primary naturally
+    # falls on the stem's first rule-stressed vowel.
+    prefix_phones: List[str] = []
+    for pre, pre_ph in _UNSTRESSED_PREFIXES:
+        stem = word[len(pre):]
+        # Vowel-initial stems keep the spelling intact: "rei"/"dea" are
+        # usually diphthongs/hiatus ("reiten", "deacon"), not prefixes.
+        if (word.startswith(pre) and stem[:1] not in "aeiouy"
+                and _vowel_groups(stem) >= 2):
+            prefix_phones = list(pre_ph)
+            # boundary dedupe: "ac"+"commodation" -> one /K/ ("cc", "pp",
+            # "mm", "nn" across the seam), except soft c/g which carries
+            # its own sound ("accelerate" -> AH0 K S EH1 ...)
+            if (stem[0] == pre[-1] and not (
+                    stem[0] in "cg" and stem[1:2] in ("e", "i", "y"))):
+                stem = stem[1:]
+            word = stem
+            break
+
     # collapse doubled consonants ("tomassetti" -> tomaseti)
+    final_double = (len(word) >= 3 and word[-1] == "e"
+                    and word[-2] == word[-3] and word[-2] not in "aeiou")
     out_chars: List[str] = []
     for ch in word:
         if out_chars and ch == out_chars[-1] and ch not in "aeiouz":
@@ -359,18 +433,21 @@ def letter_to_sound(word: str) -> List[str]:
         out_chars.append(ch)
     word = "".join(out_chars)
 
-    prefix_phones: List[str] = []
     if word.startswith("mc") and len(word) > 4:
-        prefix_phones = ["M", "AH0", "K"]
+        prefix_phones += ["M", "AH0", "K"]
         word = word[2:]
     for onset in _SILENT_ONSETS:
         if word.startswith(onset) and len(word) > len(onset) + 1:
             word = word[1:]
             break
 
-    # Drop a silent final 'e' ("blake" -> blak).
+    # Drop a silent final 'e' ("blake" -> blak).  A doubled consonant
+    # before the e (RAW spelling, remembered across the collapse above —
+    # "politte", "roxanne") blocks the magic-e lengthening below.
+    e_dropped = False
     if len(word) > 3 and word.endswith("e") and word[-2] not in "aeiou":
         word = word[:-1]
+        e_dropped = not final_double
 
     phones: List[str] = []
     i = 0
@@ -384,6 +461,61 @@ def letter_to_sound(word: str) -> List[str]:
             continue
         if word[i] == "g" and i + 1 < n and word[i + 1] in "ey":
             phones.append("JH")
+            i += 1
+            continue
+        # magic-e lengthening: the vowel of a V-C-e# final syllable is
+        # long ("blake" -> B L EY1 K, "clyde" -> K L AY1 D) — the silent
+        # final e was dropped above, so the cue lives in ``e_dropped``
+        if e_dropped and i == n - 2 and word[i] in "aeiouy" \
+                and (i == 0 or word[i - 1] not in "aeiou"):
+            if word[i] == "u" and i > 0 and word[i - 1] in "bcfghmp":
+                phones.append("Y")      # "accuse" keeps the y-glide
+            phones.append({"a": "EY1", "e": "IY1", "i": "AY1",
+                           "o": "OW1", "u": "UW1", "y": "AY1"}[word[i]])
+            i += 1
+            continue
+        # long 'u' keeps its y-glide after labials/velars (or word-
+        # initially: "uganda") in an open syllable ("accuse" ->
+        # K Y UW1 Z, "computer"): u + single consonant + vowel, or u +
+        # consonant at the end of a word whose silent final e was dropped
+        if word[i] == "u" and (i == 0 or word[i - 1] in "bcfghmp") \
+                and i + 1 < n and word[i + 1] not in "aeiour" \
+                and ((i + 2 < n and word[i + 2] in "aeiouy")
+                     or (i + 2 == n and e_dropped)):
+            phones.extend(("Y", "UW1"))
+            i += 1
+            continue
+        # word-final 'i' is /IY/ ("grippi", "gandhi"), not short IH —
+        # but a stem-final i before a stripped suffix ("glori|fy")
+        # reduces like any unstressed vowel
+        if word[i] == "i" and i == n - 1 and n >= 4 and not suffix_phones:
+            phones.append("IY0")
+            i += 1
+            continue
+        # vowel hiatus: i/u before another vowel glide to their long
+        # forms ("casio" -> S IY0 OW, "matsuo" -> S UW0 OW)
+        if word[i] == "i" and i + 1 < n and word[i + 1] in "aou":
+            phones.append("IY0")
+            i += 1
+            continue
+        if word[i] == "u" and i + 1 < n and word[i + 1] in "aeio":
+            phones.append("UW0")
+            i += 1
+            continue
+        # word-final 'o' is long ("matsuo", "soprano"), never short AA
+        if word[i] == "o" and i == n - 1:
+            phones.append("OW1")
+            i += 1
+            continue
+        # post-vocalic 'h' before a consonant (or word-finally) is
+        # silent ("stehman" -> S T EH M AH N, "wojahn", "oh")
+        if word[i] == "h" and i > 0 and word[i - 1] in "aeiou" \
+                and (i + 1 == n or word[i + 1] not in "aeiouy"):
+            i += 1
+            continue
+        # word-initial 'y' before a vowel is the consonant /Y/ ("yegor")
+        if word[i] == "y" and i == 0 and n > 1 and word[1] in "aeiou":
+            phones.append("Y")
             i += 1
             continue
         # n-g before a front vowel is /N/ + soft g ("ingenuous"), not the
@@ -540,7 +672,9 @@ class G2p:
 
     def _stem_candidates(self, word: str, suffix_len: int) -> List[str]:
         stem = word[:-suffix_len]
-        cands = [stem, stem + "e"]            # walk(ed), lov(ed)->love
+        # e-restored stem first: when both exist the e-form is the true
+        # stem far more often ("waged" -> wage not wag, "caring" -> care)
+        cands = [stem + "e", stem]            # lov(ed)->love, walk(ed)
         if len(stem) > 2 and stem[-1] == stem[-2]:
             cands.append(stem[:-1])           # stopp(ed)->stop
         if stem.endswith("i"):
@@ -569,6 +703,8 @@ class G2p:
         if word.endswith("ly") and len(word) > 4:
             ph = self._lookup(word[:-2])
             if ph is not None:
+                if ph[-1] == "L":             # "wistful|ly": one /L/
+                    return tuple(ph) + ("IY0",)
                 return tuple(ph) + ("L", "IY0")
         return None
 

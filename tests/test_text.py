@@ -192,11 +192,15 @@ class TestG2pHeldOutAccuracy:
     fix 42.4% / 16.8% (n=4000); and the Romance LTS sub-path + the
     compound initialism filter (vowel-letter counting keeps hiatus
     halves like "lion") 43.6% / 15.8%, and the German-skewed ei->AY
-    flip 43.7% / 15.8% (n=4000; the full r3 cascade measures
-    42.9% / 16.2% at n=8000 vs r2's 41.6% / 17.3%).  Floors sit below
-    the measured values so normal lexicon
-    drift doesn't flake, but any regression toward the old LTS trips
-    them."""
+    flip 43.7% / 15.8% (n=4000).  The measured-rule pass that followed
+    (unstressed Latinate prefixes, surname suffix batch + seam dedupe,
+    magic-e lengthening with the raw-double-consonant block, u y-glide,
+    vowel hiatus glides, final-i/-o long vowels, silent post-vocalic h,
+    tz/dt finals, EH->AH reduction) reaches **46.7% / 14.4%** on the
+    n=4000 dev sample, 46.1% / 15.1% on an untuned seed, and
+    **46.15% / 14.69% at n=8000** (vs r2's 41.6% / 17.3%).  Floors sit
+    below the measured values so normal lexicon drift doesn't flake,
+    but any regression toward the old LTS trips them."""
 
     def test_heldout_floors(self):
         import os
@@ -204,8 +208,9 @@ class TestG2pHeldOutAccuracy:
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         from tools.eval_g2p import evaluate
         stats, _ = evaluate(n=600, seed=1, n_misses=0)
-        assert stats["word_acc"] > 0.36, stats
-        assert stats["per"] < 0.20, stats
+        # measured 45.0% / 14.9% on this exact sample (seed 1, n=600)
+        assert stats["word_acc"] > 0.40, stats
+        assert stats["per"] < 0.18, stats
         # morphology stage stays strong
         st = stats["by_stage"].get("morphology", {"n": 0, "word_ok": 0})
         if st["n"] >= 20:
