@@ -64,15 +64,23 @@ class ShardedSynthesizer:
                              f"{mesh.axis_names}")
         self.cfg = cfg or Config()
         if mesh.size > 1 and self.cfg.model.decoder_megakernel:
-            # Pallas custom calls carry no GSPMD partitioning rule: under
-            # a multi-device mesh the inference megakernel would force the
-            # partitioner to replicate the global batch onto every core
-            # instead of sharding it, so mesh serving always takes the
-            # while_loop decode, whose matmuls XLA partitions.
+            # The inference megakernel's gate-stop flags couple the GLOBAL
+            # batch per step, so mesh serving always takes the while_loop
+            # decode, whose matmuls XLA partitions (the kernel also
+            # self-gates off under a registered mesh —
+            # ops/decoder_megakernel.py::megakernel_enabled — but a
+            # cleared config is authoritative and survives later context
+            # changes).
             import dataclasses
             self.cfg = dataclasses.replace(
                 self.cfg, model=dataclasses.replace(
                     self.cfg.model, decoder_megakernel=False))
+        # Register the mesh so the fused Pallas attention tail inside the
+        # while_loop decode shards over ``data`` and runs on local batch
+        # shards (ops/meshing.py) instead of forcing GSPMD to replicate
+        # the global batch through the custom call every decode step.
+        from ..ops.meshing import set_kernel_mesh
+        set_kernel_mesh(mesh)
         self.mesh = mesh
         self.n_data = mesh.shape["data"]
         self.gl_iters = gl_iters

@@ -80,11 +80,27 @@ def _kernel(qsum_ref, vw_ref, scalars_ref, mask_ref, memory_ref,
             precision=jax.lax.Precision.HIGHEST)           # (1, D)
 
 
-@jax.jit
 def attention_tail_pallas(qsum: jnp.ndarray, v_w: jnp.ndarray,
                           v_b: jnp.ndarray, energy_scale: jnp.ndarray,
                           mask: jnp.ndarray, memory: jnp.ndarray):
-    """Fused Pallas path; same signature/semantics as the reference impl."""
+    """Fused Pallas path; same signature/semantics as the reference impl.
+
+    Under a registered kernel mesh (ops/meshing.py) the call shards over
+    the data axis so each core runs the kernel on its LOCAL batch shard —
+    without this, the un-partitionable custom call would force GSPMD to
+    all-gather the global batch onto every core, once per decode step.
+    """
+    from .meshing import shard_over_batch
+    call = shard_over_batch(
+        _attention_tail_call,
+        in_batch_dims=(0, None, None, None, 0, 0),
+        out_batch_dims=(0, 0))
+    return call(qsum, v_w, v_b, energy_scale, mask, memory)
+
+
+def _attention_tail_call(qsum: jnp.ndarray, v_w: jnp.ndarray,
+                         v_b: jnp.ndarray, energy_scale: jnp.ndarray,
+                         mask: jnp.ndarray, memory: jnp.ndarray):
     b, t, a = qsum.shape
     d = memory.shape[-1]
     # Stream ``memory`` (the kernel's dominant HBM read — (B, T, 512)

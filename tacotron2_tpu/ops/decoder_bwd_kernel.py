@@ -214,17 +214,9 @@ def decoder_bwd_chain_mega(cfg: ModelConfig, params: Dict[str, Any],
     v/scale/bias accumulators (dv per-batch partials and
     [sum d_e*(e_raw+vb), sum d_e]).
     """
-    t_dec, b, _ = prenet_tbd.shape
-    t_enc = attns.shape[2]
-    h = cfg.decoder_rnn_dim
-    adim = cfg.attention_dim
-    kloc = cfg.location_kernel_size
     att = params["attention"]
     cdt = params["attn_lstm"]["wi"].dtype
     f32 = jnp.float32
-    p2 = 2 * (t_enc + kloc - 1)
-    ta = t_enc * adim
-    dd = cfg.encoder_embedding_dim
 
     b_a = (params["attn_lstm"]["bi"]
            + params["attn_lstm"]["bh"]).astype(f32)[None, :]
@@ -235,6 +227,47 @@ def decoder_bwd_chain_mega(cfg: ModelConfig, params: Dict[str, Any],
     v3 = att["v"]["w"][:, 0].astype(f32)[None, None, :]
     fscal = jnp.stack([att["v"]["b"][0].astype(f32),
                        att["energy_scale"].astype(f32)])
+
+    from .meshing import shard_over_batch
+    call = shard_over_batch(
+        functools.partial(_bwd_mega_call, cfg),
+        # fscal, 13 streamed (T, B, .) series, 10 resident weights,
+        # per-item memory
+        in_batch_dims=(None,) + (1,) * 13 + (None,) * 10 + (0,),
+        # per-step series + dv per-batch partials; the (2,) scale/bias
+        # accumulator is batch-reduced IN-kernel -> psum over the axis
+        out_batch_dims=(1,) * 6 + (0, None),
+        reduce_out=(7,))
+    return call(
+        fscal, prenet_tbd.astype(cdt), mka_s.astype(cdt), mkd_s.astype(cdt),
+        ha_prev_s.astype(cdt), ca_prev_s, hd_prev_s.astype(cdt), cd_prev_s,
+        ctx_prev_s, ctx_s, attns, th_s, d_out_s, d_attn_out,
+        params["attn_lstm"]["wi"].astype(cdt),
+        params["attn_lstm"]["wh"].astype(cdt), b_a,
+        params["dec_lstm"]["wi"].astype(cdt),
+        params["dec_lstm"]["wh"].astype(cdt), b_d,
+        att["query"]["w"].astype(cdt),
+        wband, v3, w_heads, memory.astype(cdt))
+
+
+def _bwd_mega_call(cfg: ModelConfig, fscal, prenet_tbd, mka_s, mkd_s,
+                   ha_prev_s, ca_prev_s, hd_prev_s, cd_prev_s,
+                   ctx_prev_s, ctx_s, attns, th_s, d_out_s, d_attn_out,
+                   wi_a, wh_a, b_a, wi_d, wh_d, b_d, wq, wband, v3,
+                   w_heads, memory):
+    """The pallas_call itself; all shapes derive from the (possibly
+    shard_map-local) operand shapes so the same body serves single-core
+    and per-shard invocation."""
+    t_dec, b, _ = prenet_tbd.shape
+    t_enc = attns.shape[2]
+    h = cfg.decoder_rnn_dim
+    adim = cfg.attention_dim
+    kloc = cfg.location_kernel_size
+    cdt = wi_a.dtype
+    f32 = jnp.float32
+    p2 = 2 * (t_enc + kloc - 1)
+    ta = t_enc * adim
+    dd = cfg.encoder_embedding_dim
 
     rrow = lambda shape: pl.BlockSpec(
         (1,) + shape, lambda g: (t_dec - 1 - g,) + (0,) * len(shape),
@@ -302,16 +335,11 @@ def decoder_bwd_chain_mega(cfg: ModelConfig, params: Dict[str, Any],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET),
         interpret=jax.default_backend() != "tpu",
-    )(fscal,
-      prenet_tbd.astype(cdt), mka_s.astype(cdt), mkd_s.astype(cdt),
-      ha_prev_s.astype(cdt), ca_prev_s, hd_prev_s.astype(cdt), cd_prev_s,
+    )(fscal, prenet_tbd, mka_s, mkd_s,
+      ha_prev_s, ca_prev_s, hd_prev_s, cd_prev_s,
       ctx_prev_s, ctx_s, attns, th_s,
       d_out_s, d_attn_out,
-      params["attn_lstm"]["wi"].astype(cdt),
-      params["attn_lstm"]["wh"].astype(cdt), b_a,
-      params["dec_lstm"]["wi"].astype(cdt),
-      params["dec_lstm"]["wh"].astype(cdt), b_d,
-      att["query"]["w"].astype(cdt), wband, v3, w_heads,
-      memory.astype(cdt))
+      wi_a, wh_a, b_a, wi_d, wh_d, b_d, wq, wband, v3, w_heads,
+      memory)
     return (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_qsum_s, d_pq_s,
             dv_b, scal)

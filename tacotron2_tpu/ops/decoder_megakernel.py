@@ -97,6 +97,14 @@ def megakernel_enabled(cfg: ModelConfig, b: int = 1, t_enc: int = 128,
         return False
     if jax.default_backend() != "tpu":
         return False
+    from .meshing import data_axis_size
+    if data_axis_size() > 1:
+        # Unlike the TRAINING megakernels (shard_map-composable over the
+        # data axis, ops/decoder_train_kernel.py), the inference kernel's
+        # gate-stop flags couple the GLOBAL batch per step ("any"/"all"
+        # semantics): per-shard stopping would change when decode ends.
+        # Mesh inference takes the while_loop path.
+        return False
     # The per-item attention middle is statically unrolled; measured
     # crossover vs the batch-amortized while_loop is around b=8
     # (B=1: 2.1-2.6x device speedup, B=8: 1.35x, larger: wash).

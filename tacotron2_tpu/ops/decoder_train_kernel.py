@@ -86,14 +86,17 @@ def train_megakernel_enabled(cfg: ModelConfig, b: int, t_enc: int,
     numerics (the backward recompute mirrors them), and the resident
     working set fitting VMEM.
 
-    Single-core only: a Pallas custom call has no GSPMD partitioning
-    rule, so the training loop clears ``cfg.decoder_megakernel`` when it
-    builds a multi-device mesh (train/loop.py) and sharded training runs
-    the scan path; the VMEM estimate here is computed on the traced
-    (global) batch shape and is only meaningful single-core.  A cleared
-    config is AUTHORITATIVE — the force-flag only applies where the
-    config allows the kernel (it exists to skip the TPU-backend check
-    for interpret-mode tests, not to override mesh gating)."""
+    Mesh composition: under a registered kernel mesh (ops/meshing.py)
+    the kernel shards over the ``data`` axis via ``jax.shard_map`` —
+    each core holds the full (replicated) weights VMEM-resident and
+    streams only its LOCAL batch shard, so the VMEM estimate is taken on
+    the per-shard batch.  Requires a data-ONLY mesh (tensor parallelism
+    shards the very weights this kernel keeps resident, so TP runs take
+    the scan path, whose matmuls XLA partitions over ``model``) and the
+    global batch dividing over the axis.  A cleared config is
+    AUTHORITATIVE — the force-flag only applies where the config allows
+    the kernel (it exists to skip the TPU-backend check for
+    interpret-mode tests, not to override config gating)."""
     if not bool(getattr(cfg, "decoder_megakernel", True)):
         return False
     flag = os.environ.get("TACOTRON2_MEGA_TRAIN")
@@ -107,8 +110,14 @@ def train_megakernel_enabled(cfg: ModelConfig, b: int, t_enc: int,
     from ..models.attention import _fused_tail_enabled
     if not _fused_tail_enabled():
         return False
+    from .meshing import data_axis_size, mesh_is_data_only
+    if not mesh_is_data_only():
+        return False
+    n = data_axis_size()
+    if b % n != 0:
+        return False
     bpw = jnp.dtype(cdt).itemsize
-    return _vmem_estimate(cfg, b, t_enc, bpw) < _VMEM_BUDGET
+    return _vmem_estimate(cfg, b // n, t_enc, bpw) < _VMEM_BUDGET
 
 
 def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
@@ -245,10 +254,7 @@ def decoder_fwd_train_mega(cfg: ModelConfig, params: Dict[str, Any],
         mka_s/mkd_s: (T_dec, B, H) bool dropout masks, generated with the
             exact bernoulli calls decode_step makes from step_keys.
     """
-    t_dec, b, _ = prenet_tbd.shape
     t_enc = memory.shape[1]
-    h = cfg.decoder_rnn_dim
-    n_mels = cfg.n_mels
     adim = cfg.attention_dim
     kloc = cfg.location_kernel_size
     att = params["attention"]
@@ -268,6 +274,44 @@ def decoder_fwd_train_mega(cfg: ModelConfig, params: Dict[str, Any],
     negmask = jnp.where(mask, -1e9, 0.0).astype(f32)
     fscal = jnp.stack([att["v"]["b"][0].astype(f32),
                        att["energy_scale"].astype(f32)])
+
+    from .meshing import shard_over_batch
+    call = shard_over_batch(
+        functools.partial(_fwd_mega_call, cfg),
+        # batch dim per operand: rows streamed (T, B, .) carry it at 1,
+        # resident per-item tensors at 0, weights/scalars replicated
+        in_batch_dims=(None, 1, 1, 1) + (None,) * 11 + (0, 0, 0),
+        out_batch_dims=(1,) * 7)
+    frames, attns, ha_s, ca_s, hd_s, cd_s, th_s = call(
+        fscal, prenet_tbd.astype(cdt), mka_s.astype(cdt), mkd_s.astype(cdt),
+        params["attn_lstm"]["wi"].astype(cdt),
+        params["attn_lstm"]["wh"].astype(cdt), b_a,
+        params["dec_lstm"]["wi"].astype(cdt),
+        params["dec_lstm"]["wh"].astype(cdt), b_d,
+        att["query"]["w"].astype(cdt), wband, v3,
+        w_heads, b_heads,
+        memory.astype(cdt), pm.astype(f32), negmask)
+
+    n_mels = cfg.n_mels
+    mels = frames[..., :n_mels]
+    gates = frames[..., n_mels]
+    return (mels, gates, attns), (ha_s, ca_s, hd_s, cd_s, th_s)
+
+
+def _fwd_mega_call(cfg: ModelConfig, fscal, prenet_tbd, mka_s, mkd_s,
+                   wi_a, wh_a, b_a, wi_d, wh_d, b_d, wq, wband, v3,
+                   w_heads, b_heads, memory, pm, negmask):
+    """The pallas_call itself; all shapes derive from the (possibly
+    shard_map-local) operand shapes so the same body serves single-core
+    and per-shard invocation."""
+    t_dec, b, _ = prenet_tbd.shape
+    t_enc = memory.shape[1]
+    h = cfg.decoder_rnn_dim
+    n_mels = cfg.n_mels
+    adim = cfg.attention_dim
+    kloc = cfg.location_kernel_size
+    cdt = wi_a.dtype
+    f32 = jnp.float32
     p2 = 2 * (t_enc + kloc - 1)
     ta = t_enc * adim
 
@@ -331,16 +375,7 @@ def decoder_fwd_train_mega(cfg: ModelConfig, params: Dict[str, Any],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET),
         interpret=jax.default_backend() != "tpu",
-    )(fscal,
-      prenet_tbd.astype(cdt), mka_s.astype(cdt), mkd_s.astype(cdt),
-      params["attn_lstm"]["wi"].astype(cdt),
-      params["attn_lstm"]["wh"].astype(cdt), b_a,
-      params["dec_lstm"]["wi"].astype(cdt),
-      params["dec_lstm"]["wh"].astype(cdt), b_d,
-      att["query"]["w"].astype(cdt), wband, v3,
-      w_heads, b_heads,
-      memory.astype(cdt), pm.astype(f32), negmask)
-
-    mels = frames[..., :n_mels]
-    gates = frames[..., n_mels]
-    return (mels, gates, attns), (ha_s, ca_s, hd_s, cd_s, th_s)
+    )(fscal, prenet_tbd, mka_s, mkd_s,
+      wi_a, wh_a, b_a, wi_d, wh_d, b_d, wq, wband, v3,
+      w_heads, b_heads, memory, pm, negmask)
+    return frames, attns, ha_s, ca_s, hd_s, cd_s, th_s

@@ -280,15 +280,6 @@ def train(metadata_path: str, checkpoint_dir: str, *,
         from ..parallel import make_mesh, shard_train_state
         mesh = make_mesh(n_data=n_data, n_model=tp)
         state = shard_train_state(mesh, state, tensor_parallel=tp > 1)
-        if mesh.size > 1 and cfg.model.decoder_megakernel:
-            # Pallas custom calls carry no GSPMD partitioning rule: under
-            # a multi-device mesh the decoder megakernels would force the
-            # partitioner to replicate the GLOBAL batch onto every core
-            # (and their VMEM gate is estimated on the global shape), so
-            # sharded training uses the scan path, whose matmuls XLA
-            # partitions over the mesh.
-            cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-                cfg.model, decoder_megakernel=False))
         if tp > 1:
             logger.log(f"SPMD mesh: data={n_data} x model={tp} "
                        f"(tensor parallel), {n_proc} processes, "
@@ -300,6 +291,18 @@ def train(metadata_path: str, checkpoint_dir: str, *,
         raise RuntimeError(
             f"multi-process run with global batch {global_micro_batch} not "
             f"divisible by {n_dev} devices — adjust --batch_size")
+
+    # Register the mesh (or clear a stale one from an earlier run in this
+    # process) so the Pallas kernels — the fused attention tail and the
+    # decoder train megakernels — shard_map themselves over the ``data``
+    # axis and run on LOCAL batch shards, instead of forcing GSPMD to
+    # replicate the global batch through un-partitionable custom calls
+    # (ops/meshing.py).  Under TP the train megakernels additionally gate
+    # themselves off (they hold the very weights TP shards VMEM-resident,
+    # ops/decoder_train_kernel.py::train_megakernel_enabled); the scan
+    # path's matmuls partition over ``model`` instead.
+    from ..ops.meshing import set_kernel_mesh
+    set_kernel_mesh(mesh)
 
     def place_batch(batch, micro: bool):
         """Host batch -> (possibly globally sharded) device arrays.
