@@ -30,6 +30,41 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def min_wall(fn, iters=3):
+    """Min-of-N wall seconds for ``fn()`` (the timeit convention: the chip
+    is time-shared behind a tunnel, so contention only inflates walls — the
+    minimum is the reproducible capability number)."""
+    walls = []
+    for _ in range(iters):
+        t0 = time.time()
+        fn()
+        walls.append(time.time() - t0)
+    return float(np.min(walls)), walls
+
+
+def device_time(fn, module_substr, n=3):
+    """Min device time of the XLA module matching ``module_substr`` over
+    ``n`` traced calls of ``fn`` (profiler-derived: excludes tunnel
+    dispatch latency, so rounds compare chip capability, not transport
+    weather).  None when tracing is unavailable (non-TPU backend,
+    tensorflow absent)."""
+    try:
+        import tempfile
+
+        import jax
+
+        from tacotron2_tpu.utils.xplane import (min_module_time,
+                                                module_device_times)
+        with tempfile.TemporaryDirectory() as tdir:
+            with jax.profiler.trace(tdir):
+                for _ in range(n):
+                    fn()
+            return min_module_time(module_device_times(tdir), module_substr)
+    except Exception as e:  # tensorflow absent etc. — walls still report
+        log(f"device-time trace skipped ({module_substr}): {e}")
+        return None
+
+
 def main():
     from tacotron2_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
@@ -99,46 +134,22 @@ def main():
         f"(frames={n_frames}, wav={wav_shape})")
 
     # ---- batch 1 timed (fused single-dispatch program) ----
-    # min-of-N (the timeit convention): the chip is time-shared behind a
-    # tunnel, so contention only ever inflates walls — the minimum is the
-    # reproducible capability number.  The median rides in stderr.
-    iters = 7
-    walls = []
-    for _ in range(iters):
-        t0 = time.time()
-        n_frames, _ = run_fused(1)
-        walls.append(time.time() - t0)
-    wall = float(np.min(walls))
+    # min-of-N (see min_wall); the median rides in stderr.
+    wall, walls = min_wall(lambda: run_fused(1), iters=7)
     audio_sec = n_frames * acfg.hop_length / acfg.sampling_rate
     rtf1 = wall / audio_sec
     fps1 = n_frames / wall
     log(f"batch1 fused: wall {wall:.3f}s (median {np.median(walls):.3f}s) "
         f"for {audio_sec:.2f}s audio -> RTF {rtf1:.5f}, {fps1:.0f} frames/s")
 
-    # DEVICE-time RTF from a profiler trace (XLA Modules line): the wall
-    # number above includes tunnel dispatch latency, so it confounds chip
-    # capability with transport weather round-over-round; this one does
-    # not.  Three traced dispatches, min module time.
+    # DEVICE-time RTF from a profiler trace (XLA Modules line): excludes
+    # tunnel dispatch latency (see device_time).
     secondary_device = {}
-    try:
-        import tempfile
-
-        from tacotron2_tpu.utils.xplane import (min_module_time,
-                                                module_device_times)
-        with tempfile.TemporaryDirectory() as tdir:
-            with jax.profiler.trace(tdir):
-                for _ in range(3):
-                    run_fused(1)
-            dev = min_module_time(module_device_times(tdir),
-                                  "synthesize_wav_fused")
-        if dev is not None:
-            secondary_device["rtf_batch1_device"] = round(dev / audio_sec, 6)
-            log(f"batch1 fused DEVICE time {dev:.3f}s -> device RTF "
-                f"{dev / audio_sec:.5f}")
-        else:
-            log("device-time trace: module not found (non-TPU backend?)")
-    except Exception as e:  # tensorflow absent etc. — walls still report
-        log(f"device-time trace skipped: {e}")
+    dev = device_time(lambda: run_fused(1), "synthesize_wav_fused")
+    if dev is not None:
+        secondary_device["rtf_batch1_device"] = round(dev / audio_sec, 6)
+        log(f"batch1 fused DEVICE time {dev:.3f}s -> device RTF "
+            f"{dev / audio_sec:.5f}")
 
     # ---- modular path (separate decode + vocode dispatches) ----
     run_modular(1)  # warmup
@@ -147,13 +158,8 @@ def main():
     log(f"batch1 modular: wall {time.time() - t0:.3f}s")
 
     # ---- batch 16 timed ----
-    run_fused(16)  # warmup/compile for the batch-16 shapes
-    walls16 = []
-    for _ in range(3):
-        t0 = time.time()
-        n_frames16, _ = run_fused(16)
-        walls16.append(time.time() - t0)
-    wall16 = float(np.min(walls16))
+    n_frames16, _ = run_fused(16)  # warmup/compile for the batch-16 shapes
+    wall16, _ = min_wall(lambda: run_fused(16))
     fps16 = 16 * n_frames16 / wall16
     rtf16 = wall16 / (16 * n_frames16 * acfg.hop_length / acfg.sampling_rate)
     log(f"batch16 fused: wall {wall16:.3f}s -> per-stream RTF {rtf16:.5f}, "
@@ -212,22 +218,12 @@ def main():
         float(wav[0, -1])
         return int(n)
 
-    run_hifigan(1)  # compile
-    walls = [0.0] * 3
-    for i in range(3):
-        t0 = time.time()
-        n_hf = run_hifigan(1)
-        walls[i] = time.time() - t0
-    wall_hf = float(np.min(walls))
+    n_hf = run_hifigan(1)  # compile
+    wall_hf, _ = min_wall(lambda: run_hifigan(1))
     rtf_hf1 = wall_hf / (n_hf * acfg.hop_length / acfg.sampling_rate)
     log(f"batch1 fused hifigan: wall {wall_hf:.3f}s -> RTF {rtf_hf1:.5f}")
-    run_hifigan(16)  # compile
-    walls = [0.0] * 3
-    for i in range(3):
-        t0 = time.time()
-        n_hf16 = run_hifigan(16)
-        walls[i] = time.time() - t0
-    wall_hf16 = float(np.min(walls))
+    n_hf16 = run_hifigan(16)  # compile
+    wall_hf16, _ = min_wall(lambda: run_hifigan(16))
     rtf_hf16 = wall_hf16 / (16 * n_hf16 * acfg.hop_length
                             / acfg.sampling_rate)
     log(f"batch16 fused hifigan: wall {wall_hf16:.3f}s -> per-stream RTF "
@@ -251,13 +247,8 @@ def main():
         return int(n)
 
     b_big = 128
-    run_hifigan_big(b_big)  # compile
-    walls = [0.0] * 3
-    for i in range(3):
-        t0 = time.time()
-        n_big = run_hifigan_big(b_big)
-        walls[i] = time.time() - t0
-    wall_big = float(np.min(walls))
+    n_big = run_hifigan_big(b_big)  # compile
+    wall_big, _ = min_wall(lambda: run_hifigan_big(b_big))
     fps_big = b_big * n_big / wall_big
     log(f"batch{b_big} fused hifigan bf16: wall {wall_big:.3f}s -> "
         f"aggregate {fps_big:.0f} frames/s "
@@ -320,30 +311,22 @@ def main():
     secondary["train_frames_per_sec_b16"] = round(train_fps)
 
     # DEVICE train-step time (same rationale as rtf_batch1_device).
-    try:
-        import tempfile
+    tb_dev = stage(train_batch())
 
-        from tacotron2_tpu.utils.xplane import (min_module_time,
-                                                module_device_times)
-        tb = stage(train_batch())
-        with tempfile.TemporaryDirectory() as tdir:
-            with jax.profiler.trace(tdir):
-                for _ in range(2):
-                    tstate, losses, _ = train_step(
-                        tstate, tb, cfg=cfg, tx=tx, use_postnet=True,
-                        sigma_warmup_steps=sigma)
-                    float(losses.total)
-                    tb = stage(train_batch())
-            dev_step = min_module_time(module_device_times(tdir),
-                                       "train_step")
-        if dev_step is not None:
-            secondary["train_step_device_sec_b16"] = round(dev_step, 4)
-            secondary["train_frames_per_sec_b16_device"] = round(
-                b_tr * t_dec_tr / dev_step)
-            log(f"train step DEVICE time {dev_step:.3f}s = "
-                f"{b_tr * t_dec_tr / dev_step:.0f} frames/s on-chip")
-    except Exception as e:
-        log(f"train-step device trace skipped: {e}")
+    def traced_step():
+        nonlocal tstate
+        tstate, losses, _ = train_step(tstate, tb_dev, cfg=cfg, tx=tx,
+                                       use_postnet=True,
+                                       sigma_warmup_steps=sigma)
+        float(losses.total)
+
+    dev_step = device_time(traced_step, "train_step", n=2)
+    if dev_step is not None:
+        secondary["train_step_device_sec_b16"] = round(dev_step, 4)
+        secondary["train_frames_per_sec_b16_device"] = round(
+            b_tr * t_dec_tr / dev_step)
+        log(f"train step DEVICE time {dev_step:.3f}s = "
+            f"{b_tr * t_dec_tr / dev_step:.0f} frames/s on-chip")
 
     # ---- early gate-stop decode (default-run; VERDICT r2 item 9).  The
     # headline stays the deterministic 1000-step worst case; this tracks
@@ -371,12 +354,7 @@ def main():
             return int(np.asarray(ends)[0])
 
         n_es = run_earlystop(stop_at)  # compile (forced-stop executable)
-        walls_es = []
-        for _ in range(3):
-            t0 = time.time()
-            n_es = run_earlystop(stop_at)
-            walls_es.append(time.time() - t0)
-        wall_es = float(np.min(walls_es))
+        wall_es, _ = min_wall(lambda: run_earlystop(stop_at))
         audio_es = n_es * acfg.hop_length / acfg.sampling_rate
         rtf_es = wall_es / audio_es
         log(f"early-stop decode (forced at {stop_at}): stopped at {n_es} "
@@ -385,6 +363,32 @@ def main():
             f"{max_steps}-frame static buffer)")
         secondary["earlystop300_frames"] = n_es
         secondary["rtf_batch1_earlystop300"] = round(rtf_es, 6)
+
+        # Same early-stop decode through the CLI/serving path (modular
+        # decode -> 128-frame-bucketed Griffin-Lim, infer/vocode.py): the
+        # vocoder cost is proportional to the TRIMMED length, so short
+        # utterances do not pay the fused program's full static-buffer
+        # tail.  This is the latency a user of `inference.py` actually
+        # sees on a gate-stopped utterance.
+        from tacotron2_tpu.infer.vocode import vocode_mel
+
+        def run_earlystop_bucketed(stop_frame):
+            tokens = jnp.asarray(rng.integers(1, 72, (1, 64)), jnp.int32)
+            out, n, _ = tacotron2_infer_jit(
+                params, state, cfg.model, tokens, max_steps=max_steps,
+                forced_stop_at=jnp.int32(stop_frame))
+            mel = np.asarray(out.mel_postnet)[0, :int(n)]   # (n, n_mels)
+            wav = vocode_mel(mel, acfg)
+            return int(n), wav
+
+        n_esb, _ = run_earlystop_bucketed(stop_at)  # compile both programs
+        wall_esb, _ = min_wall(lambda: run_earlystop_bucketed(stop_at))
+        rtf_esb = wall_esb / (n_esb * acfg.hop_length / acfg.sampling_rate)
+        log(f"early-stop decode, bucketed vocode (CLI path): {n_esb} "
+            f"frames, wall {wall_esb:.3f}s -> RTF {rtf_esb:.5f} "
+            f"(vocoder runs the {-(-n_esb // 128) * 128}-frame bucket, "
+            f"not the {max_steps}-frame static buffer)")
+        secondary["rtf_batch1_earlystop300_bucketed"] = round(rtf_esb, 6)
     except Exception as e:
         log(f"early-stop decode bench skipped: {e}")
 

@@ -279,8 +279,7 @@ def preprocess_corpus(metadata_path: str, output_dir: str,
             batch = reflect_pad_batch(sigs, pad, total_len)
             mels_dev, lens_dev = device_mels_async(batch, lengths)
             writer.submit(mels_dev, lens_dev, chunk)
-        writer.drain()
-    writer.close()
+    writer.close()   # close() drains; no per-bucket barrier
     stats["ok"] += writer.ok
     t_python = time.perf_counter() - t0
 

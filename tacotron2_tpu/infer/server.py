@@ -438,9 +438,10 @@ class BatchingTTSService(TTSService):
             # would be discarded; skipping keeps the batch slot for live
             # requests).  done is still set for them — harmless.
             live = [i for i in batch if not i.cancelled]
+            for item in batch:
+                if item.cancelled:      # keep the done-is-always-set
+                    item.done.set()     # invariant for cancelled items too
             if not live:
-                for item in batch:
-                    item.done.set()
                 continue
             batch = live
             with self._lock:

@@ -247,7 +247,12 @@ def _kernel(drop_first: bool, stop_mode: str, max_steps: int, n_mels: int,
         gate = out[:, n_mels:]                            # (B, 1)
         fired = jnp.logical_and(n_out > 1,
                                 jax.nn.sigmoid(gate) > fscal[0])
-        fired = jnp.logical_or(fired, n_out >= iscal[0])
+        # while_loop parity: the loop body only ever evaluates the forced
+        # stop with n_out >= 1 (the dropped diagnostic step is outside the
+        # loop), so forced_stop_at <= 0 must behave like 1, not fire at the
+        # dropped t=0 step here.
+        fired = jnp.logical_or(
+            fired, jnp.logical_and(n_out >= 1, n_out >= iscal[0]))
         was_done = done_scr[:, :1] > 0
         newly = jnp.logical_and(fired, jnp.logical_not(was_done))
         end_scr[:, :1] = jnp.where(newly, n_out, end_scr[:, :1])
