@@ -71,6 +71,20 @@ class TestMegakernelParity:
         assert np.all(np.asarray(got[1])[:, 5:] == -1e9)
         assert_parity(ref, got)
 
+    @pytest.mark.parametrize("stop_at", [0, 1])
+    def test_forced_stop_floor(self, setup, stop_at):
+        """forced_stop_at <= 1 must behave like 1 under drop_first_frame:
+        the while_loop only ever evaluates the forced stop with
+        n_out >= 1 (its dropped diagnostic step runs OUTSIDE the loop),
+        so the megakernel must not fire at its in-grid t=0 step."""
+        params, memory, mask = setup
+        args = dict(mask=mask, drop_first_frame=True,
+                    forced_stop_at=jnp.int32(stop_at))
+        ref = decoder_infer(params, SMALL, memory, MAX, 0.5, **args)
+        got = decoder_infer_mega(params, SMALL, memory, MAX, 0.5, **args)
+        assert int(ref[3]) == 1
+        assert_parity(ref, got)
+
     def test_natural_gate_fire(self, setup):
         params, memory, mask = setup
         hot = jax.tree_util.tree_map(lambda x: x, params)
