@@ -34,6 +34,10 @@ attention energy chain, even the attention context (``ctx = attn @
 memory``) — is recomputed in the backward pass.  This also removes the
 qsum residual, round 2's dominant training memory term ((T_dec, B, T_enc,
 attn_dim) — 8 GB fp32 at B=256), so large batches fit without remat.
+(The Pallas kernel pair additionally saves the attention tanh rows and
+the post-activation gate stacks — on that path the reverse kernel
+recomputes nothing and spends its MACs only on the dx chain itself;
+the scan fallback keeps the memory-lean recompute above.)
 
 Numerics: gradients for the small attention parameters are obtained by
 ``jax.vjp`` over a per-step energy function that mirrors the forward's
@@ -191,8 +195,10 @@ def _bptt_fwd(cfg, params, prenet_tbd, memory, pm, mask, step_keys):
 
 def _bptt_bwd(cfg, residuals, cots):
     (params, prenet_tbd, memory, pm, mask, step_keys, attns, res) = residuals
-    # the Pallas forward additionally saves the attention tanh rows
-    th_saved = res[4] if len(res) == 5 else None
+    # the Pallas forward additionally saves the attention tanh rows and
+    # the post-activation gate stacks (aa/ad) for the reverse kernel
+    th_saved = res[4] if len(res) >= 5 else None
+    acts_saved = res[5:7] if len(res) == 7 else None
     ha_s, ca_s, hd_s, cd_s = res[:4]             # (T, B, H) each
     d_mels, d_gates, d_attn_out = cots           # (T,B,M), (T,B), (T,B,S)
     t_dec, b, _ = ha_s.shape
@@ -236,16 +242,16 @@ def _bptt_bwd(cfg, residuals, cots):
     mem_c = memory.astype(cdt)     # d_attn's ctx-path matmul operand
 
     from .decoder_train_kernel import train_megakernel_enabled
-    if th_saved is not None and train_megakernel_enabled(cfg, b, t_enc,
-                                                         cdt):
+    if acts_saved is not None and train_megakernel_enabled(cfg, b, t_enc,
+                                                           cdt):
         # Pallas reverse-chain kernel + hoisted attention-weight grads
         # (ops/decoder_bwd_kernel.py) — same emitted series/grads as the
         # scan below, weights VMEM-resident across steps.
         (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_small,
          d_pm) = _bwd_chain_mega(
-            cfg, params, prenet_tbd, memory, pm, step_keys, attns, ha_s,
-            ha_prev_s, ca_prev_s, hd_prev_s, cd_prev_s, ctx_prev_c,
-            ctx_c, prev_s, cum_s, th_saved, d_mels, d_gates, d_attn_out)
+            cfg, params, memory, step_keys, attns, ha_s, ca_s, cd_s,
+            ca_prev_s, cd_prev_s, prev_s, cum_s, th_saved, acts_saved,
+            d_mels, d_gates, d_attn_out)
         return _bptt_weight_grads(
             cfg, params, prenet_tbd, memory, pm, mask, step_keys, attns,
             ha_s, hd_s, ha_prev_s, hd_prev_s, ctx_prev_c, ctx_c,
@@ -414,14 +420,16 @@ def _bptt_weight_grads(cfg, params, prenet_tbd, memory, pm, mask,
             _float0(mask), _float0(step_keys))
 
 
-def _bwd_chain_mega(cfg, params, prenet_tbd, memory, pm, step_keys, attns,
-                    ha_s, ha_prev_s, ca_prev_s, hd_prev_s, cd_prev_s,
-                    ctx_prev_c, ctx_c, prev_s, cum_s, th_s, d_mels,
+def _bwd_chain_mega(cfg, params, memory, step_keys, attns,
+                    ha_s, ca_s, cd_s, ca_prev_s, cd_prev_s,
+                    prev_s, cum_s, th_s, acts_saved, d_mels,
                     d_gates, d_attn_out):
     """Reverse dx chain via the Pallas kernel + hoisted attention-weight
     gradients (see ops/decoder_bwd_kernel.py for the division of labor).
     ``th_s`` (T, B, T_enc*A) is the forward kernel's saved attention
-    tanh rows — the entire attention-energy residual.
+    tanh rows — the entire attention-energy residual; ``acts_saved``
+    the saved post-activation gate stacks (aa_s, ad_s), each
+    (T, B, 4H) — removing the reverse kernel's forward recompute.
 
     Returns (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_small, d_pm) — the
     exact quantities the reverse scan's carry/emissions produce."""
@@ -446,11 +454,11 @@ def _bwd_chain_mega(cfg, params, prenet_tbd, memory, pm, step_keys, attns,
     d_out_s = jnp.concatenate([d_mels, d_gates[..., None]],
                               axis=-1).astype(f32)
 
+    aa_s, ad_s = acts_saved
     (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_qsum_s, d_pq_s, dv_b,
      scal) = decoder_bwd_chain_mega(
-        cfg, params, wband, memory, prenet_tbd, mka_s, mkd_s,
-        ha_prev_s, ca_prev_s, hd_prev_s, cd_prev_s,
-        ctx_prev_c, ctx_c, attns, th_s,
+        cfg, params, wband, memory, mka_s, mkd_s,
+        aa_s, ad_s, ca_s, cd_s, ca_prev_s, cd_prev_s, attns, th_s,
         d_out_s, d_attn_out.astype(f32))
 
     # ---- hoisted attention-weight gradients (single time-batched

@@ -17,11 +17,13 @@ accumulators, the same principle as the split backward itself):
     time-batched shot from the stored alignments (prevcat series @
     WBand + query/memory projections), stored (T, B, T_enc*A) in the
     compute dtype and STREAMED into the kernel row by row.
-  * IN the kernel, per step: recompute both LSTM gate stacks from the
-    streamed stored carries (resident wi/wh), run the head/LSTM/softmax
-    /attention backward chains, and emit the per-step gate gradients
-    (g_att, g_dec), the context/prenet cotangents, and the energy
-    cotangent row ``d_e`` (B, T_enc).
+  * IN the kernel, per step: read the forward kernel's STREAMED
+    post-activation gate stacks and current cell states (no forward
+    recompute at all — the gate matmul pairs were 2.28 of the kernel's
+    5.2 GMAC/step), run the head/LSTM/softmax/attention backward
+    chains, and emit the per-step gate gradients (g_att, g_dec), the
+    context/prenet cotangents, and the energy cotangent row ``d_e``
+    (B, T_enc).
   * OUTSIDE, hoisted, after the kernel: every attention WEIGHT gradient
     reconstructs from (d_e_s, th_s) as single time-batched
     contractions — d_qsum_s = d_e_s*scale*v*(1-th^2), then d_pm (a
@@ -57,10 +59,10 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
             pdim: int, keep_a: float, keep_d: float,
             fscal,
             # streamed rows (t = T-1-g)
-            pre_ref, ma_ref, md_ref, hap_ref, cap_ref, hdp_ref, cdp_ref,
-            ctxp_ref, ctxt_ref, attn_ref, th_ref, dout_ref, dattn_ref,
+            ma_ref, md_ref, aa_ref, ad_ref, cac_ref, cdc_ref,
+            cap_ref, cdp_ref, attn_ref, th_ref, dout_ref, dattn_ref,
             # resident
-            wi_a, wh_a, b_a, wi_d, wh_d, b_d, wq, wband, v3, w_heads, mem,
+            wi_a, wh_a, wi_d, wh_d, wq, wband, v3, w_heads, mem,
             # outputs (streamed rows + final accumulators)
             gatt_ref, gdec_ref, dctx_ref, dpre_ref, dqsum_ref, dpq_ref,
             dv_ref, scal_ref,
@@ -93,32 +95,25 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
         return jax.lax.dot_general(x, w[:], (((1,), (1,)), ((), ())),
                                    preferred_element_type=f32)
 
-    # ---- recompute step t's forward internals from stored carries ----
-    ha_p = hap_ref[0]                                     # cdt, post-drop
-    hd_p = hdp_ref[0]
-    ctx_pc = ctxp_ref[0].astype(cdt)
-    ctx_tc = ctxt_ref[0].astype(cdt)
-    xa = jnp.concatenate([pre_ref[0].astype(cdt), ctx_pc], axis=-1)
-    ga = (jnp.dot(xa, wi_a[:], preferred_element_type=f32)
-          + jnp.dot(ha_p, wh_a[:], preferred_element_type=f32) + b_a[:])
-    ia = jax.nn.sigmoid(ga[:, :h])
-    fa = jax.nn.sigmoid(ga[:, h:2 * h])
-    gga = jnp.tanh(ga[:, 2 * h:3 * h])
-    oa = jax.nn.sigmoid(ga[:, 3 * h:])
-    ca_t = fa * cap_ref[0] + ia * gga
-    tca = jnp.tanh(ca_t)
-    ha_t = oa * tca
+    # ---- step t's forward internals, STREAMED from the forward kernel's
+    # saved gate stacks (no recompute: removing the two forward gate
+    # matmul pairs cuts 2.28 of this kernel's 5.2 GMAC/step at the
+    # reference dims, plus the prenet/prev-hidden/context rows that the
+    # recompute consumed).  tanh(c_t) comes from the streamed CURRENT
+    # cell states — exact, where the old recompute re-derived c_t. ----
+    acts_a = aa_ref[0].astype(f32)                        # (B, 4H)
+    ia = acts_a[:, :h]
+    fa = acts_a[:, h:2 * h]
+    gga = acts_a[:, 2 * h:3 * h]
+    oa = acts_a[:, 3 * h:]
+    tca = jnp.tanh(cac_ref[0])
     mka = ma_ref[0].astype(f32)
-    ha_d = (ha_t / keep_a) * mka if keep_a < 1.0 else ha_t
-    xd = jnp.concatenate([ha_d.astype(cdt), ctx_tc], axis=-1)
-    gd = (jnp.dot(xd, wi_d[:], preferred_element_type=f32)
-          + jnp.dot(hd_p, wh_d[:], preferred_element_type=f32) + b_d[:])
-    id_ = jax.nn.sigmoid(gd[:, :h])
-    fd = jax.nn.sigmoid(gd[:, h:2 * h])
-    ggd = jnp.tanh(gd[:, 2 * h:3 * h])
-    od = jax.nn.sigmoid(gd[:, 3 * h:])
-    cd_t = fd * cdp_ref[0] + id_ * ggd
-    tcd = jnp.tanh(cd_t)
+    acts_d = ad_ref[0].astype(f32)
+    id_ = acts_d[:, :h]
+    fd = acts_d[:, h:2 * h]
+    ggd = acts_d[:, 2 * h:3 * h]
+    od = acts_d[:, 3 * h:]
+    tcd = jnp.tanh(cdc_ref[0])
 
     # ---- backward through the fused heads ----
     d_proj = dotT(dout_ref[0].astype(cdt), w_heads)       # (B, h+D)
@@ -197,31 +192,27 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
 
 def decoder_bwd_chain_mega(cfg: ModelConfig, params: Dict[str, Any],
                            wband: jnp.ndarray, memory: jnp.ndarray,
-                           prenet_tbd, mka_s, mkd_s,
-                           ha_prev_s, ca_prev_s, hd_prev_s, cd_prev_s,
-                           ctx_prev_s, ctx_s, attns, th_s,
+                           mka_s, mkd_s, aa_s, ad_s, ca_s, cd_s,
+                           ca_prev_s, cd_prev_s, attns, th_s,
                            d_out_s, d_attn_out
                            ) -> Tuple[jnp.ndarray, ...]:
     """Run the reverse dx chain as one Pallas program.
 
-    Inputs are the same per-step series `_bptt_bwd` feeds its reverse
-    scan (shifted stored carries, context series, output cotangents)
-    plus the forward kernel's saved ``th_s (T, B, T_enc*A)`` rows and
-    the precomputed ``wband``.  Returns the per-step series
-    (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_qsum_s, d_pq_s) ordered by
-    step t like the forward — from which the LSTM/head/attention weight
-    gradients hoist as time-batched contractions — plus the in-kernel
-    v/scale/bias accumulators (dv per-batch partials and
-    [sum d_e*(e_raw+vb), sum d_e]).
+    Inputs are the per-step series the forward kernel saved — the
+    post-activation gate stacks ``aa_s/ad_s (T, B, 4H)``, the current and
+    shifted cell states, the attention tanh rows ``th_s (T, B, T_enc*A)``
+    (the whole attention-energy residual), the dropout masks and the
+    output cotangents — plus the precomputed ``wband``.  Returns the
+    per-step series (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_qsum_s,
+    d_pq_s) ordered by step t like the forward — from which the
+    LSTM/head/attention weight gradients hoist as time-batched
+    contractions — plus the in-kernel v/scale/bias accumulators (dv
+    per-batch partials and [sum d_e*(e_raw+vb), sum d_e]).
     """
     att = params["attention"]
     cdt = params["attn_lstm"]["wi"].dtype
     f32 = jnp.float32
 
-    b_a = (params["attn_lstm"]["bi"]
-           + params["attn_lstm"]["bh"]).astype(f32)[None, :]
-    b_d = (params["dec_lstm"]["bi"]
-           + params["dec_lstm"]["bh"]).astype(f32)[None, :]
     w_heads = jnp.concatenate([params["proj"]["w"], params["gate"]["w"]],
                               axis=1).astype(cdt)
     v3 = att["v"]["w"][:, 0].astype(f32)[None, None, :]
@@ -231,34 +222,34 @@ def decoder_bwd_chain_mega(cfg: ModelConfig, params: Dict[str, Any],
     from .meshing import shard_over_batch
     call = shard_over_batch(
         functools.partial(_bwd_mega_call, cfg),
-        # fscal, 13 streamed (T, B, .) series, 10 resident weights,
+        # fscal, 12 streamed (T, B, .) series, 8 resident weights,
         # per-item memory
-        in_batch_dims=(None,) + (1,) * 13 + (None,) * 10 + (0,),
+        in_batch_dims=(None,) + (1,) * 12 + (None,) * 8 + (0,),
         # per-step series + dv per-batch partials; the (2,) scale/bias
         # accumulator is batch-reduced IN-kernel -> psum over the axis
         out_batch_dims=(1,) * 6 + (0, None),
         reduce_out=(7,))
     return call(
-        fscal, prenet_tbd.astype(cdt), mka_s.astype(cdt), mkd_s.astype(cdt),
-        ha_prev_s.astype(cdt), ca_prev_s, hd_prev_s.astype(cdt), cd_prev_s,
-        ctx_prev_s, ctx_s, attns, th_s, d_out_s, d_attn_out,
+        fscal, mka_s.astype(cdt), mkd_s.astype(cdt),
+        aa_s, ad_s, ca_s, cd_s, ca_prev_s, cd_prev_s,
+        attns, th_s, d_out_s, d_attn_out,
         params["attn_lstm"]["wi"].astype(cdt),
-        params["attn_lstm"]["wh"].astype(cdt), b_a,
+        params["attn_lstm"]["wh"].astype(cdt),
         params["dec_lstm"]["wi"].astype(cdt),
-        params["dec_lstm"]["wh"].astype(cdt), b_d,
+        params["dec_lstm"]["wh"].astype(cdt),
         att["query"]["w"].astype(cdt),
         wband, v3, w_heads, memory.astype(cdt))
 
 
-def _bwd_mega_call(cfg: ModelConfig, fscal, prenet_tbd, mka_s, mkd_s,
-                   ha_prev_s, ca_prev_s, hd_prev_s, cd_prev_s,
-                   ctx_prev_s, ctx_s, attns, th_s, d_out_s, d_attn_out,
-                   wi_a, wh_a, b_a, wi_d, wh_d, b_d, wq, wband, v3,
+def _bwd_mega_call(cfg: ModelConfig, fscal, mka_s, mkd_s,
+                   aa_s, ad_s, ca_s, cd_s, ca_prev_s, cd_prev_s,
+                   attns, th_s, d_out_s, d_attn_out,
+                   wi_a, wh_a, wi_d, wh_d, wq, wband, v3,
                    w_heads, memory):
     """The pallas_call itself; all shapes derive from the (possibly
     shard_map-local) operand shapes so the same body serves single-core
     and per-shard invocation."""
-    t_dec, b, _ = prenet_tbd.shape
+    t_dec, b, _ = aa_s.shape
     t_enc = attns.shape[2]
     h = cfg.decoder_rnn_dim
     adim = cfg.attention_dim
@@ -285,21 +276,18 @@ def _bwd_mega_call(cfg: ModelConfig, fscal, prenet_tbd, mka_s, mkd_s,
         grid=(t_dec,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),        # fscal
-            rrow((b, cfg.prenet_dim)),
             rrow((b, h)), rrow((b, h)),                   # dropout masks
-            rrow((b, h)), rrow((b, h)),                   # ha_p, ca_p
-            rrow((b, h)), rrow((b, h)),                   # hd_p, cd_p
-            rrow((b, dd)), rrow((b, dd)),                 # ctx_prev, ctx_t
+            rrow((b, 4 * h)), rrow((b, 4 * h)),           # gate stacks
+            rrow((b, h)), rrow((b, h)),                   # ca_t, cd_t
+            rrow((b, h)), rrow((b, h)),                   # ca_p, cd_p
             rrow((b, t_enc)),                             # attn_t
             rrow((b, ta)),                                # th_t (cdt)
             rrow((b, cfg.n_mels + 1)),                    # d_out_t
             rrow((b, t_enc)),                             # d_attn_out_t
             const((cfg.prenet_dim + dd, 4 * h)),
             const((h, 4 * h)),
-            const((1, 4 * h)),
             const((h + dd, 4 * h)),
             const((h, 4 * h)),
-            const((1, 4 * h)),
             const((h, adim)),
             const((p2, ta)),
             const((1, 1, adim)),
@@ -335,11 +323,9 @@ def _bwd_mega_call(cfg: ModelConfig, fscal, prenet_tbd, mka_s, mkd_s,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET),
         interpret=jax.default_backend() != "tpu",
-    )(fscal, prenet_tbd, mka_s, mkd_s,
-      ha_prev_s, ca_prev_s, hd_prev_s, cd_prev_s,
-      ctx_prev_s, ctx_s, attns, th_s,
-      d_out_s, d_attn_out,
-      wi_a, wh_a, b_a, wi_d, wh_d, b_d, wq, wband, v3, w_heads,
+    )(fscal, mka_s, mkd_s, aa_s, ad_s, ca_s, cd_s, ca_prev_s, cd_prev_s,
+      attns, th_s, d_out_s, d_attn_out,
+      wi_a, wh_a, wi_d, wh_d, wq, wband, v3, w_heads,
       memory)
     return (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_qsum_s, d_pq_s,
             dv_b, scal)

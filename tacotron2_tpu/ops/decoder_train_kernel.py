@@ -57,7 +57,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ModelConfig
 
-_VMEM_BUDGET = 100 * 1024 * 1024
+# 112 MiB of the v5e's 128 MiB VMEM: raising this from the original 100
+# restored output-stream double-buffering after the gate-stack rows were
+# added (B=128 measured 150.3 -> 142.8 ms/step); 120 measured no further
+# gain, so 112 keeps margin for Mosaic's own transients.
+_VMEM_BUDGET = 112 * 1024 * 1024
 
 
 def _vmem_estimate(cfg: ModelConfig, b: int, t_enc: int, bpw: int) -> int:
@@ -70,12 +74,13 @@ def _vmem_estimate(cfg: ModelConfig, b: int, t_enc: int, bpw: int) -> int:
     weights = (in_dims * 4 * h + (h + cfg.encoder_embedding_dim) * 128) * bpw
     attn_mats = p2 * ta * bpw
     # (the transient qsum/tanh values are buffer-reused by Mosaic and not
-    # counted: B=128/T_enc=128 measures in under the 100 MiB budget)
+    # counted: B=128/T_enc=128 measures in under the budget)
     resident = b * (t_enc * cfg.encoder_embedding_dim * bpw  # memory
                     + ta * 4                                 # pm2 fp32
                     + t_enc * 3 * 4)                         # mask/prev/cum
     stream = b * (cfg.prenet_dim + 2 * h) * bpw * 2 \
-        + b * (4 * h * 4 + t_enc * 4) * 2
+        + b * (4 * h * 4 + t_enc * 4) * 2 \
+        + 2 * b * 4 * h * bpw * 2   # gate-stack rows (aa/ad), dbl-buffered
     return weights + attn_mats + resident + stream + 8 * b * h * 4
 
 
@@ -128,6 +133,7 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
             wq, wband, v3, w_heads, b_heads,
             mem, pm3, negmask,
             frames_ref, attn_ref, ha_ref, ca_ref, hd_ref, cd_ref, th_ref,
+            aa_ref, ad_ref,
             h_att, c_att, h_dec, c_dec, ctx_scr, prev_scr, cum_scr):
     t = pl.program_id(0)
     b = prev_scr.shape[0]
@@ -218,6 +224,12 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
     ca_ref[0] = ca_new
     hd_ref[0] = hd_drop.astype(cdt)
     cd_ref[0] = cd_new
+    # post-activation gate stacks for the reverse kernel: streaming these
+    # removes its entire forward-gate recompute (2.28 of 5.2 GMAC/step at
+    # the reference dims) plus the prenet/prev-hidden/context rows that
+    # recompute consumed
+    aa_ref[0] = jnp.concatenate([ia, fa, gga, oa], axis=-1).astype(cdt)
+    ad_ref[0] = jnp.concatenate([id_, fd, ggd, od], axis=-1).astype(cdt)
 
 
 def build_wband(att: Dict[str, Any], t_enc: int, adim: int,
@@ -281,8 +293,8 @@ def decoder_fwd_train_mega(cfg: ModelConfig, params: Dict[str, Any],
         # batch dim per operand: rows streamed (T, B, .) carry it at 1,
         # resident per-item tensors at 0, weights/scalars replicated
         in_batch_dims=(None, 1, 1, 1) + (None,) * 11 + (0, 0, 0),
-        out_batch_dims=(1,) * 7)
-    frames, attns, ha_s, ca_s, hd_s, cd_s, th_s = call(
+        out_batch_dims=(1,) * 9)
+    frames, attns, ha_s, ca_s, hd_s, cd_s, th_s, aa_s, ad_s = call(
         fscal, prenet_tbd.astype(cdt), mka_s.astype(cdt), mkd_s.astype(cdt),
         params["attn_lstm"]["wi"].astype(cdt),
         params["attn_lstm"]["wh"].astype(cdt), b_a,
@@ -295,7 +307,7 @@ def decoder_fwd_train_mega(cfg: ModelConfig, params: Dict[str, Any],
     n_mels = cfg.n_mels
     mels = frames[..., :n_mels]
     gates = frames[..., n_mels]
-    return (mels, gates, attns), (ha_s, ca_s, hd_s, cd_s, th_s)
+    return (mels, gates, attns), (ha_s, ca_s, hd_s, cd_s, th_s, aa_s, ad_s)
 
 
 def _fwd_mega_call(cfg: ModelConfig, fscal, prenet_tbd, mka_s, mkd_s,
@@ -325,7 +337,8 @@ def _fwd_mega_call(cfg: ModelConfig, fscal, prenet_tbd, mka_s, mkd_s,
                              1.0 - cfg.p_attention_dropout,
                              1.0 - cfg.p_decoder_dropout)
     ta = t_enc * adim
-    frames, attns, ha_s, ca_s, hd_s, cd_s, th_s = pl.pallas_call(
+    (frames, attns, ha_s, ca_s, hd_s, cd_s, th_s, aa_s,
+     ad_s) = pl.pallas_call(
         kern,
         grid=(t_dec,),
         in_specs=[
@@ -353,6 +366,7 @@ def _fwd_mega_call(cfg: ModelConfig, fscal, prenet_tbd, mka_s, mkd_s,
             row((b, t_enc)),
             row((b, h)), row((b, h)), row((b, h)), row((b, h)),
             row((b, ta)),
+            row((b, 4 * h)), row((b, 4 * h)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t_dec, b, n_mels + 1), f32),
@@ -362,6 +376,8 @@ def _fwd_mega_call(cfg: ModelConfig, fscal, prenet_tbd, mka_s, mkd_s,
             jax.ShapeDtypeStruct((t_dec, b, h), cdt),
             jax.ShapeDtypeStruct((t_dec, b, h), f32),
             jax.ShapeDtypeStruct((t_dec, b, ta), cdt),
+            jax.ShapeDtypeStruct((t_dec, b, 4 * h), cdt),
+            jax.ShapeDtypeStruct((t_dec, b, 4 * h), cdt),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, h), f32),
@@ -378,4 +394,4 @@ def _fwd_mega_call(cfg: ModelConfig, fscal, prenet_tbd, mka_s, mkd_s,
     )(fscal, prenet_tbd, mka_s, mkd_s,
       wi_a, wh_a, b_a, wi_d, wh_d, b_d, wq, wband, v3,
       w_heads, b_heads, memory, pm, negmask)
-    return frames, attns, ha_s, ca_s, hd_s, cd_s, th_s
+    return frames, attns, ha_s, ca_s, hd_s, cd_s, th_s, aa_s, ad_s
