@@ -34,10 +34,11 @@ attention energy chain, even the attention context (``ctx = attn @
 memory``) — is recomputed in the backward pass.  This also removes the
 qsum residual, round 2's dominant training memory term ((T_dec, B, T_enc,
 attn_dim) — 8 GB fp32 at B=256), so large batches fit without remat.
-(The Pallas kernel pair additionally saves the attention tanh rows and
-the post-activation gate stacks — on that path the reverse kernel
-recomputes nothing and spends its MACs only on the dx chain itself;
-the scan fallback keeps the memory-lean recompute above.)
+(The Pallas kernel pair additionally saves the attention energy
+pre-activations (qsum) and the LSTM pre-activation gate stacks — on
+that path the reverse kernel recomputes nothing but cheap elementwise
+sigmoid/tanh and spends its MACs only on the dx chain itself; the scan
+fallback keeps the memory-lean recompute above.)
 
 Numerics: gradients for the small attention parameters are obtained by
 ``jax.vjp`` over a per-step energy function that mirrors the forward's
@@ -195,9 +196,9 @@ def _bptt_fwd(cfg, params, prenet_tbd, memory, pm, mask, step_keys):
 
 def _bptt_bwd(cfg, residuals, cots):
     (params, prenet_tbd, memory, pm, mask, step_keys, attns, res) = residuals
-    # the Pallas forward additionally saves the attention tanh rows and
-    # the post-activation gate stacks (aa/ad) for the reverse kernel
-    th_saved = res[4] if len(res) >= 5 else None
+    # the Pallas forward additionally saves the attention qsum rows and
+    # the pre-activation gate stacks (aa/ad) for the reverse kernel
+    qsum_saved = res[4] if len(res) >= 5 else None
     acts_saved = res[5:7] if len(res) == 7 else None
     ha_s, ca_s, hd_s, cd_s = res[:4]             # (T, B, H) each
     d_mels, d_gates, d_attn_out = cots           # (T,B,M), (T,B), (T,B,S)
@@ -250,7 +251,7 @@ def _bptt_bwd(cfg, residuals, cots):
         (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_small,
          d_pm) = _bwd_chain_mega(
             cfg, params, memory, step_keys, attns, ha_s, ca_s, cd_s,
-            ca_prev_s, cd_prev_s, prev_s, cum_s, th_saved, acts_saved,
+            ca_prev_s, cd_prev_s, prev_s, cum_s, qsum_saved, acts_saved,
             d_mels, d_gates, d_attn_out)
         return _bptt_weight_grads(
             cfg, params, prenet_tbd, memory, pm, mask, step_keys, attns,
@@ -422,14 +423,15 @@ def _bptt_weight_grads(cfg, params, prenet_tbd, memory, pm, mask,
 
 def _bwd_chain_mega(cfg, params, memory, step_keys, attns,
                     ha_s, ca_s, cd_s, ca_prev_s, cd_prev_s,
-                    prev_s, cum_s, th_s, acts_saved, d_mels,
+                    prev_s, cum_s, qsum_s, acts_saved, d_mels,
                     d_gates, d_attn_out):
     """Reverse dx chain via the Pallas kernel + hoisted attention-weight
     gradients (see ops/decoder_bwd_kernel.py for the division of labor).
-    ``th_s`` (T, B, T_enc*A) is the forward kernel's saved attention
-    tanh rows — the entire attention-energy residual; ``acts_saved``
-    the saved post-activation gate stacks (aa_s, ad_s), each
-    (T, B, 4H) — removing the reverse kernel's forward recompute.
+    ``qsum_s`` (T, B, T_enc*A) is the forward kernel's saved attention
+    energy pre-activations — the entire attention-energy residual;
+    ``acts_saved`` the saved pre-activation gate stacks (aa_s, ad_s),
+    each (T, B, 4H) — removing the reverse kernel's forward matmul
+    recompute (activations re-derived in fp32 in-kernel).
 
     Returns (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_small, d_pm) — the
     exact quantities the reverse scan's carry/emissions produce."""
@@ -458,7 +460,7 @@ def _bwd_chain_mega(cfg, params, memory, step_keys, attns,
     (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_qsum_s, d_pq_s, dv_b,
      scal) = decoder_bwd_chain_mega(
         cfg, params, wband, memory, mka_s, mkd_s,
-        aa_s, ad_s, ca_s, cd_s, ca_prev_s, cd_prev_s, attns, th_s,
+        aa_s, ad_s, ca_s, cd_s, ca_prev_s, cd_prev_s, attns, qsum_s,
         d_out_s, d_attn_out.astype(f32))
 
     # ---- hoisted attention-weight gradients (single time-batched

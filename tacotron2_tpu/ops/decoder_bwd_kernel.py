@@ -12,20 +12,22 @@ per-step inputs/outputs streamed as rows.
 Division of labor (designed so the kernel carries NO weight-gradient
 accumulators, the same principle as the split backward itself):
 
-  * OUTSIDE, hoisted, before the kernel: the attention tanh activations
-    for every step — ``th_s = tanh(qsum_s)`` — recomputed in one
-    time-batched shot from the stored alignments (prevcat series @
-    WBand + query/memory projections), stored (T, B, T_enc*A) in the
-    compute dtype and STREAMED into the kernel row by row.
-  * IN the kernel, per step: read the forward kernel's STREAMED
-    post-activation gate stacks and current cell states (no forward
-    recompute at all — the gate matmul pairs were 2.28 of the kernel's
-    5.2 GMAC/step), run the head/LSTM/softmax/attention backward
-    chains, and emit the per-step gate gradients (g_att, g_dec), the
-    context/prenet cotangents, and the energy cotangent row ``d_e``
-    (B, T_enc).
+  * FROM the forward kernel, streamed row by row in the compute dtype:
+    the attention energy pre-activations ``qsum_s`` ((T, B, T_enc*A) —
+    the exact rounded values the forward's tanh consumed, so the
+    in-kernel ``th = tanh(qsum)`` is BIT-identical to the forward's
+    fp32 tanh), and the LSTM PRE-activation gate stacks (sigmoid/tanh
+    re-derived in fp32 here; streaming post-activations in cdt would
+    snap saturated outputs to exactly 0/1 and zero their gradient
+    factors, and streaming them in fp32 measured +10% step time).
+  * IN the kernel, per step: read those streams plus the current cell
+    states (no forward gate recompute at all — the gate matmul pairs
+    were 2.28 of the kernel's 5.2 GMAC/step), run the head/LSTM/
+    softmax/attention backward chains, and emit the per-step gate
+    gradients (g_att, g_dec), the context/prenet cotangents, and the
+    energy cotangent row ``d_e`` (B, T_enc).
   * OUTSIDE, hoisted, after the kernel: every attention WEIGHT gradient
-    reconstructs from (d_e_s, th_s) as single time-batched
+    reconstructs from (d_e_s, qsum_s) as single time-batched
     contractions — d_qsum_s = d_e_s*scale*v*(1-th^2), then d_pm (a
     reduce), d_query (einsum with the stored hiddens), the banded-conv
     gradient (prevcat_s^T @ d_loc2_s, folded back along the band
@@ -60,7 +62,7 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
             fscal,
             # streamed rows (t = T-1-g)
             ma_ref, md_ref, aa_ref, ad_ref, cac_ref, cdc_ref,
-            cap_ref, cdp_ref, attn_ref, th_ref, dout_ref, dattn_ref,
+            cap_ref, cdp_ref, attn_ref, qsum_ref, dout_ref, dattn_ref,
             # resident
             wi_a, wh_a, wi_d, wh_d, wq, wband, v3, w_heads, mem,
             # outputs (streamed rows + final accumulators)
@@ -95,24 +97,28 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
         return jax.lax.dot_general(x, w[:], (((1,), (1,)), ((), ())),
                                    preferred_element_type=f32)
 
-    # ---- step t's forward internals, STREAMED from the forward kernel's
-    # saved gate stacks (no recompute: removing the two forward gate
-    # matmul pairs cuts 2.28 of this kernel's 5.2 GMAC/step at the
-    # reference dims, plus the prenet/prev-hidden/context rows that the
-    # recompute consumed).  tanh(c_t) comes from the streamed CURRENT
-    # cell states — exact, where the old recompute re-derived c_t. ----
-    acts_a = aa_ref[0].astype(f32)                        # (B, 4H)
-    ia = acts_a[:, :h]
-    fa = acts_a[:, h:2 * h]
-    gga = acts_a[:, 2 * h:3 * h]
-    oa = acts_a[:, 3 * h:]
+    # ---- step t's forward internals, re-derived in fp32 from the
+    # forward kernel's STREAMED pre-activation gate stacks (no matmul
+    # recompute: removing the two forward gate matmul pairs cuts 2.28 of
+    # this kernel's 5.2 GMAC/step at the reference dims, plus the
+    # prenet/prev-hidden/context rows that the recompute consumed; the
+    # sigmoid/tanh re-derivation here is cheap VPU work, and evaluating
+    # them on the cdt-rounded INPUTS keeps saturated gradient factors
+    # like ia*(1-ia) alive where a cdt-rounded OUTPUT snaps to exactly
+    # 0/1).  tanh(c_t) comes from the streamed CURRENT cell states —
+    # exact, where the old recompute re-derived c_t. ----
+    pga = aa_ref[0].astype(f32)                           # (B, 4H) preact
+    ia = jax.nn.sigmoid(pga[:, :h])
+    fa = jax.nn.sigmoid(pga[:, h:2 * h])
+    gga = jnp.tanh(pga[:, 2 * h:3 * h])
+    oa = jax.nn.sigmoid(pga[:, 3 * h:])
     tca = jnp.tanh(cac_ref[0])
     mka = ma_ref[0].astype(f32)
-    acts_d = ad_ref[0].astype(f32)
-    id_ = acts_d[:, :h]
-    fd = acts_d[:, h:2 * h]
-    ggd = acts_d[:, 2 * h:3 * h]
-    od = acts_d[:, 3 * h:]
+    pgd = ad_ref[0].astype(f32)
+    id_ = jax.nn.sigmoid(pgd[:, :h])
+    fd = jax.nn.sigmoid(pgd[:, h:2 * h])
+    ggd = jnp.tanh(pgd[:, 2 * h:3 * h])
+    od = jax.nn.sigmoid(pgd[:, 3 * h:])
     tcd = jnp.tanh(cdc_ref[0])
 
     # ---- backward through the fused heads ----
@@ -147,7 +153,9 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
     s = jnp.sum(attn * d_attn, axis=-1, keepdims=True)
     d_e = attn * (d_attn - s)                             # wrt full e
     d_eraw = d_e * fscal[1]                               # * energy_scale
-    th = th_ref[0].reshape(b, t_enc, adim).astype(f32)
+    # th from the streamed qsum row: bit-identical to the forward's
+    # fp32 tanh (qsum was the rounded value the forward's tanh consumed)
+    th = jnp.tanh(qsum_ref[0].reshape(b, t_enc, adim).astype(f32))
     d_qsum = d_eraw[:, :, None] * v3[:] * (1.0 - th * th)  # (B, T, A) f32
     d_pq = jnp.sum(d_qsum, axis=1)                        # (B, A)
     dpq_ref[0] = d_pq
@@ -193,15 +201,17 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
 def decoder_bwd_chain_mega(cfg: ModelConfig, params: Dict[str, Any],
                            wband: jnp.ndarray, memory: jnp.ndarray,
                            mka_s, mkd_s, aa_s, ad_s, ca_s, cd_s,
-                           ca_prev_s, cd_prev_s, attns, th_s,
+                           ca_prev_s, cd_prev_s, attns, qsum_s,
                            d_out_s, d_attn_out
                            ) -> Tuple[jnp.ndarray, ...]:
     """Run the reverse dx chain as one Pallas program.
 
     Inputs are the per-step series the forward kernel saved — the
-    post-activation gate stacks ``aa_s/ad_s (T, B, 4H)``, the current and
-    shifted cell states, the attention tanh rows ``th_s (T, B, T_enc*A)``
-    (the whole attention-energy residual), the dropout masks and the
+    pre-activation gate stacks ``aa_s/ad_s (T, B, 4H)`` (compute dtype;
+    activations re-derived in fp32 in-kernel), the current and shifted
+    cell states, the attention energy pre-activation rows
+    ``qsum_s (T, B, T_enc*A)`` (the whole attention-energy residual),
+    the dropout masks and the
     output cotangents — plus the precomputed ``wband``.  Returns the
     per-step series (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_qsum_s,
     d_pq_s) ordered by step t like the forward — from which the
@@ -232,7 +242,7 @@ def decoder_bwd_chain_mega(cfg: ModelConfig, params: Dict[str, Any],
     return call(
         fscal, mka_s.astype(cdt), mkd_s.astype(cdt),
         aa_s, ad_s, ca_s, cd_s, ca_prev_s, cd_prev_s,
-        attns, th_s, d_out_s, d_attn_out,
+        attns, qsum_s, d_out_s, d_attn_out,
         params["attn_lstm"]["wi"].astype(cdt),
         params["attn_lstm"]["wh"].astype(cdt),
         params["dec_lstm"]["wi"].astype(cdt),
@@ -243,7 +253,7 @@ def decoder_bwd_chain_mega(cfg: ModelConfig, params: Dict[str, Any],
 
 def _bwd_mega_call(cfg: ModelConfig, fscal, mka_s, mkd_s,
                    aa_s, ad_s, ca_s, cd_s, ca_prev_s, cd_prev_s,
-                   attns, th_s, d_out_s, d_attn_out,
+                   attns, qsum_s, d_out_s, d_attn_out,
                    wi_a, wh_a, wi_d, wh_d, wq, wband, v3,
                    w_heads, memory):
     """The pallas_call itself; all shapes derive from the (possibly
@@ -324,7 +334,7 @@ def _bwd_mega_call(cfg: ModelConfig, fscal, mka_s, mkd_s,
             vmem_limit_bytes=_VMEM_BUDGET),
         interpret=jax.default_backend() != "tpu",
     )(fscal, mka_s, mkd_s, aa_s, ad_s, ca_s, cd_s, ca_prev_s, cd_prev_s,
-      attns, th_s, d_out_s, d_attn_out,
+      attns, qsum_s, d_out_s, d_attn_out,
       wi_a, wh_a, wi_d, wh_d, wq, wband, v3, w_heads,
       memory)
     return (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_qsum_s, d_pq_s,

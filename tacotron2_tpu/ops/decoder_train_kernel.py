@@ -80,7 +80,7 @@ def _vmem_estimate(cfg: ModelConfig, b: int, t_enc: int, bpw: int) -> int:
                     + t_enc * 3 * 4)                         # mask/prev/cum
     stream = b * (cfg.prenet_dim + 2 * h) * bpw * 2 \
         + b * (4 * h * 4 + t_enc * 4) * 2 \
-        + 2 * b * 4 * h * bpw * 2   # gate-stack rows (aa/ad), dbl-buffered
+        + 2 * b * 4 * h * bpw * 2   # pre-act gate rows (ga/gd), dbl-buff
     return weights + attn_mats + resident + stream + 8 * b * h * 4
 
 
@@ -132,7 +132,7 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
             wi_a, wh_a, b_a, wi_d, wh_d, b_d,
             wq, wband, v3, w_heads, b_heads,
             mem, pm3, negmask,
-            frames_ref, attn_ref, ha_ref, ca_ref, hd_ref, cd_ref, th_ref,
+            frames_ref, attn_ref, ha_ref, ca_ref, hd_ref, cd_ref, qsum_ref,
             aa_ref, ad_ref,
             h_att, c_att, h_dec, c_dec, ctx_scr, prev_scr, cum_scr):
     t = pl.program_id(0)
@@ -181,9 +181,12 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
     qsum = (pq[:, None, :] + pm3[:]
             + loc2.reshape(b, t_enc, adim)).astype(cdt)
     th = jnp.tanh(qsum.astype(f32))                       # (B, T, A)
-    # emit th for the backward kernel (it is the whole qsum-chain
-    # residual: the backward recomputes nothing of the attention energy)
-    th_ref[0] = th.astype(cdt).reshape(b, t_enc * adim)
+    # emit qsum (already rounded to the compute dtype above — the exact
+    # value tanh consumed) for the backward kernel: it re-derives
+    # th = tanh(qsum) in fp32, BIT-identical to this forward's th, where
+    # streaming th itself would add a second cdt rounding that zeroes
+    # (1 - th^2) for near-saturated attention energies
+    qsum_ref[0] = qsum.reshape(b, t_enc * adim)
     e = jnp.sum(th * v3[:], axis=-1)                      # (B, T)
     e = (e + fscal[0]) * fscal[1] + negmask[:]
     m = jnp.max(e, axis=-1, keepdims=True)
@@ -224,12 +227,18 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
     ca_ref[0] = ca_new
     hd_ref[0] = hd_drop.astype(cdt)
     cd_ref[0] = cd_new
-    # post-activation gate stacks for the reverse kernel: streaming these
+    # PRE-activation gate stacks for the reverse kernel: streaming these
     # removes its entire forward-gate recompute (2.28 of 5.2 GMAC/step at
     # the reference dims) plus the prenet/prev-hidden/context rows that
-    # recompute consumed
-    aa_ref[0] = jnp.concatenate([ia, fa, gga, oa], axis=-1).astype(cdt)
-    ad_ref[0] = jnp.concatenate([id_, fd, ggd, od], axis=-1).astype(cdt)
+    # recompute consumed.  Pre-activations (not the sigmoid/tanh outputs)
+    # stream in the compute dtype for the same reason qsum does above:
+    # rounding an INPUT perturbs the re-derived activation by a ~2^-8
+    # relative factor, while rounding the saturated OUTPUT snaps it to
+    # exactly 0/1 and zeroes gradient factors like ia*(1-ia) outright
+    # (fp32 post-activation streams measured +10% step time at B=128 —
+    # 157.6 vs 142.8 ms — for numerics this recovers at bf16 cost).
+    aa_ref[0] = ga.astype(cdt)
+    ad_ref[0] = gd.astype(cdt)
 
 
 def build_wband(att: Dict[str, Any], t_enc: int, adim: int,
@@ -294,7 +303,7 @@ def decoder_fwd_train_mega(cfg: ModelConfig, params: Dict[str, Any],
         # resident per-item tensors at 0, weights/scalars replicated
         in_batch_dims=(None, 1, 1, 1) + (None,) * 11 + (0, 0, 0),
         out_batch_dims=(1,) * 9)
-    frames, attns, ha_s, ca_s, hd_s, cd_s, th_s, aa_s, ad_s = call(
+    frames, attns, ha_s, ca_s, hd_s, cd_s, qsum_s, aa_s, ad_s = call(
         fscal, prenet_tbd.astype(cdt), mka_s.astype(cdt), mkd_s.astype(cdt),
         params["attn_lstm"]["wi"].astype(cdt),
         params["attn_lstm"]["wh"].astype(cdt), b_a,
@@ -307,7 +316,8 @@ def decoder_fwd_train_mega(cfg: ModelConfig, params: Dict[str, Any],
     n_mels = cfg.n_mels
     mels = frames[..., :n_mels]
     gates = frames[..., n_mels]
-    return (mels, gates, attns), (ha_s, ca_s, hd_s, cd_s, th_s, aa_s, ad_s)
+    return (mels, gates, attns), (ha_s, ca_s, hd_s, cd_s, qsum_s, aa_s,
+                                  ad_s)
 
 
 def _fwd_mega_call(cfg: ModelConfig, fscal, prenet_tbd, mka_s, mkd_s,
@@ -337,7 +347,7 @@ def _fwd_mega_call(cfg: ModelConfig, fscal, prenet_tbd, mka_s, mkd_s,
                              1.0 - cfg.p_attention_dropout,
                              1.0 - cfg.p_decoder_dropout)
     ta = t_enc * adim
-    (frames, attns, ha_s, ca_s, hd_s, cd_s, th_s, aa_s,
+    (frames, attns, ha_s, ca_s, hd_s, cd_s, qsum_s, aa_s,
      ad_s) = pl.pallas_call(
         kern,
         grid=(t_dec,),
@@ -394,4 +404,4 @@ def _fwd_mega_call(cfg: ModelConfig, fscal, prenet_tbd, mka_s, mkd_s,
     )(fscal, prenet_tbd, mka_s, mkd_s,
       wi_a, wh_a, b_a, wi_d, wh_d, b_d, wq, wband, v3,
       w_heads, b_heads, memory, pm, negmask)
-    return frames, attns, ha_s, ca_s, hd_s, cd_s, th_s, aa_s, ad_s
+    return frames, attns, ha_s, ca_s, hd_s, cd_s, qsum_s, aa_s, ad_s

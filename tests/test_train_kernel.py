@@ -110,6 +110,83 @@ class TestTrainKernelParity:
                                           np.asarray(ref_d))
 
 
+class TestBf16PolicyParity:
+    """Kernel-vs-scan parity under the DEFAULT TPU policy (bf16 compute
+    dtype) — the configuration the fp32 tests above never exercise.
+
+    The forward kernel streams PRE-activation gate stacks and attention
+    qsum rows (the rounded values its own tanh consumed), so the reverse
+    kernel re-derives every sigmoid/tanh in fp32 from rounded INPUTS —
+    perturbing saturated Jacobian factors by a ~2^-8 relative factor
+    instead of snapping them to exactly zero as rounded OUTPUTS would;
+    the residual kernel-vs-scan drift is that input rounding plus the
+    banded-conv reassociation and bf16 matmul rounding, bounded by the
+    tolerances pinned here (measured ~1e-2 worst relative leaf)."""
+
+    def _bf16_core(self, setup_vals):
+        core, pre, memory, pm, mask, keys = setup_vals
+        core16 = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, core)
+        return core16, pre, memory, pm, mask, keys
+
+    def test_value_and_grad_bf16(self, setup):
+        (l0, g0), (l1, g1) = run_both(
+            self._bf16_core(setup),
+            lambda out: (jnp.sum(out[0] ** 2) + jnp.sum(out[1] ** 2)
+                         + jnp.sum(out[2] ** 2) * 0.1))
+        assert abs(float(l1) - float(l0)) < 2e-2 * abs(float(l0))
+        leaves0 = jax.tree_util.tree_leaves_with_path(g0)
+        leaves1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+        gscale = max(float(jnp.max(jnp.abs(v.astype(jnp.float32))))
+                     for _, v in leaves0)
+        for path, v0 in leaves0:
+            v0 = v0.astype(jnp.float32)
+            v1 = leaves1[path].astype(jnp.float32)
+            d = float(jnp.max(jnp.abs(v1 - v0)))
+            rel = d / (float(jnp.max(jnp.abs(v0))) + 1e-2 * gscale)
+            assert rel < 5e-2, (jax.tree_util.keystr(path), rel)
+
+    def test_saturated_gates_keep_gradients_bf16(self, setup):
+        """Drive the LSTM gates toward saturation (large input biases)
+        and check the kernel path's LSTM weight gradients track the scan
+        path instead of collapsing — the failure mode of streaming
+        post-activation stacks in bf16, where sigmoid outputs within
+        2^-9 of 1 round to exactly 1 and ia*(1-ia) becomes exactly 0."""
+        core, pre, memory, pm, mask, keys = self._bf16_core(setup)
+        sat = dict(core)
+        for k in ("attn_lstm", "dec_lstm"):
+            sat[k] = dict(core[k])
+            # push input/forget-gate pre-activations to ~|6..8|: the
+            # region where fp32 keeps derivative factors ~1e-3 but a
+            # bf16-rounded activation zeroes them
+            h = SMALL.decoder_rnn_dim
+            bi = core[k]["bi"].astype(jnp.float32)
+            bi = bi.at[:h].add(7.0).at[h:2 * h].add(-7.0)
+            sat[k]["bi"] = bi.astype(core[k]["bi"].dtype)
+
+        def loss(c, p_in, m_in, pm_in):
+            out = decoder_scan_bptt(SMALL, c, p_in, m_in, pm_in, mask, keys)
+            return jnp.sum(out[0] ** 2) + jnp.sum(out[1] ** 2)
+
+        res = {}
+        for flag in ("0", "1"):
+            os.environ["TACOTRON2_MEGA_TRAIN"] = flag
+            jax.clear_caches()
+            res[flag] = jax.grad(loss)(sat, pre, memory, pm)
+        for k in ("attn_lstm", "dec_lstm"):
+            for w in ("wi", "wh"):
+                v0 = res["0"][k][w].astype(jnp.float32)
+                v1 = res["1"][k][w].astype(jnp.float32)
+                n0 = float(jnp.linalg.norm(v0))
+                assert n0 > 0.0
+                # the kernel must retain the gradient mass (no silent
+                # saturation collapse) and track the scan direction
+                assert float(jnp.linalg.norm(v1)) > 0.5 * n0, (k, w)
+                rel = float(jnp.linalg.norm(v1 - v0)) / n0
+                assert rel < 5e-2, (k, w, rel)
+
+
 class TestEnabledGating:
     def test_cleared_config_beats_env_force(self, monkeypatch):
         """Same contract as the inference kernel: a cleared
