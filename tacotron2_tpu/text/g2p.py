@@ -605,7 +605,12 @@ class G2p:
          progressive -ing, adverbial -ly built from a lexicon stem with
          the voicing-correct suffix phonemes (covers the biggest OOV
          class: inflected forms CMUdict lists only as stems);
-      4. rule LTS as the last resort.
+      4. the TRAINED letter-to-sound model — a joint-sequence graphone
+         n-gram fit on CMUdict (tools/train_lts.py, decoder in
+         lts_model.py), the counterpart of g2p_en's neural LTS network;
+      5. the rule LTS as the dependency-free last resort (also the
+         fallback when the model artifact is absent, when
+         ``TACOTRON2_LTS_MODEL=0``, or for letters outside a-z).
 
     Known divergence from the reference's g2p_en: heteronym choice uses
     rule cues instead of a statistical POS tagger, and pairs POS cannot
@@ -615,9 +620,20 @@ class G2p:
 
     def __init__(self, lexicon: Optional[Dict[str, Tuple[str, ...]]] = None,
                  lexicon_path: Optional[str] = None,
-                 homographs: bool = True):
+                 homographs: bool = True, lts_model: bool = True):
         self._lexicon = lexicon if lexicon is not None else load_lexicon(lexicon_path)
         self._homographs = homographs
+        self._lts_model = None
+        if lts_model:
+            from .lts_model import load_default_model
+            self._lts_model = load_default_model()
+
+    def _model_lts(self, word: str) -> Optional[Tuple[str, ...]]:
+        if self._lts_model is None or not word.isalpha() \
+                or not word.isascii():
+            return None
+        phones = self._lts_model.pronounce(word)
+        return tuple(phones) if phones else None
 
     def _lookup(self, word: str) -> Optional[Tuple[str, ...]]:
         return self._lexicon.get(word)
@@ -722,7 +738,8 @@ class G2p:
             if hit is not None:
                 return hit
         for resolver in (self._lookup, self._apostrophe_restore,
-                         self._morphology, self._compound):
+                         self._morphology, self._model_lts,
+                         self._compound):
             entry = resolver(word)
             if entry is not None:
                 return entry
@@ -734,10 +751,11 @@ class G2p:
         for name, resolver in (("lexicon", self._lookup),
                                ("apostrophe", self._apostrophe_restore),
                                ("morphology", self._morphology),
+                               ("lts_model", self._model_lts),
                                ("compound", self._compound)):
             if resolver(word) is not None:
                 return name
-        return "lts"
+        return "lts_rules"
 
     def __call__(self, text: str) -> List[str]:
         words = text.split()

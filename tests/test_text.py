@@ -196,11 +196,16 @@ class TestG2pHeldOutAccuracy:
     (unstressed Latinate prefixes, surname suffix batch + seam dedupe,
     magic-e lengthening with the raw-double-consonant block, u y-glide,
     vowel hiatus glides, final-i/-o long vowels, silent post-vocalic h,
-    tz/dt finals, EH->AH reduction) reaches **46.7% / 14.4%** on the
-    n=4000 dev sample, 46.1% / 15.1% on an untuned seed, and
-    **46.15% / 14.69% at n=8000** (vs r2's 41.6% / 17.3%).  Floors sit
-    below the measured values so normal lexicon drift doesn't flake,
-    but any regression toward the old LTS trips them."""
+    tz/dt finals, EH->AH reduction) reached **46.7% / 14.4%** on the
+    n=4000 dev sample and **46.15% / 14.69% at n=8000** (vs r2's
+    41.6% / 17.3%).  r4 replaced the rule cascade's last-resort role
+    with the TRAINED graphone n-gram (tools/train_lts.py, decoded by
+    text/lts_model.py), ordered before compound splitting: **67.25% /
+    8.36% at n=8000** (stress-blind; 61.38% with stress), scored ONLY
+    on the model's own 10% CMUdict training holdout so no evaluated
+    word was n-gram training data.  Floors sit below the measured
+    values so normal lexicon drift doesn't flake, but any regression
+    toward the rule-only LTS trips them."""
 
     def test_heldout_floors(self):
         import os
@@ -208,9 +213,9 @@ class TestG2pHeldOutAccuracy:
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         from tools.eval_g2p import evaluate
         stats, _ = evaluate(n=600, seed=1, n_misses=0)
-        # measured 45.0% / 14.9% on this exact sample (seed 1, n=600)
-        assert stats["word_acc"] > 0.40, stats
-        assert stats["per"] < 0.18, stats
+        # measured 67.5% / 8.2% on this exact sample (seed 1, n=600)
+        assert stats["word_acc"] > 0.58, stats
+        assert stats["per"] < 0.11, stats
         # morphology stage stays strong
         st = stats["by_stage"].get("morphology", {"n": 0, "word_ok": 0})
         if st["n"] >= 20:
@@ -275,7 +280,12 @@ class TestG2pFallbackCascade:
 
     # -- stage 4: compound splitting --
     def test_compound_split(self, g2p):
-        assert g2p.resolution("woodcutters") in ("compound", "lexicon")
+        # r4: the trained LTS model now sits before compound splitting
+        # in the cascade (it beat the splitter 62% vs 39% on held-out
+        # CMUdict) — any of the three stages may claim the word, but the
+        # pronunciation must stay the correct wood+cutters reading.
+        assert g2p.resolution("woodcutters") in ("compound", "lexicon",
+                                                 "lts_model")
         phones = list(g2p.pronounce("woodcutters"))
         # wood + cutters
         assert phones[:3] == ["W", "UH1", "D"]

@@ -33,6 +33,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 from tacotron2_tpu.text.g2p import G2p  # noqa: E402
 from tacotron2_tpu.text.lexicon import load_lexicon  # noqa: E402
+from tacotron2_tpu.text.lts_model import (  # noqa: E402
+    is_model_holdout, load_default_model)
 
 
 def strip_stress(phones: Sequence[str]) -> Tuple[str, ...]:
@@ -53,8 +55,14 @@ def edit_distance(a: Sequence[str], b: Sequence[str]) -> int:
 def evaluate(n: int = 4000, seed: int = 0, n_misses: int = 40):
     import random
     lex = load_lexicon()
+    # When the trained LTS model is active, score ONLY on its training
+    # holdout (the deterministic 10% of CMUdict tools/train_lts.py never
+    # saw) — otherwise "held out of the lexicon in place" words could
+    # still have been n-gram training data, inflating accuracy.
+    model_active = load_default_model() is not None
     words = sorted(w for w in lex
-                   if w.isalpha() and 4 <= len(w) <= 14)
+                   if w.isalpha() and 4 <= len(w) <= 14
+                   and (is_model_holdout(w) if model_active else True))
     random.Random(seed).shuffle(words)
     sample = words[:n]
 
