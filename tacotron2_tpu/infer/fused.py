@@ -9,6 +9,42 @@ dispatch per utterance, the minimum possible host involvement.
 Frames beyond the gate stop are masked to the log floor before vocoding,
 so the (static-shape) vocoder sees silence there; the caller trims the
 returned waveform at ``n_frames * hop``.
+
+``synthesize_pcm_proportional`` makes the WHOLE pipeline
+LENGTH-PROPORTIONAL — compute and, critically, transfer — while keeping
+the ONE-dispatch shape.  The reference's loop is cost-proportional to
+output length (reference: src/model.py:318-333); the single fused
+program above is not: a 300-frame gate stop still pays the full
+``max_steps`` static Griffin-Lim tail and, dominating wall time through
+a tunneled runtime, the D2H of the full static-length fp32 waveform
+(~1 MB at 1000 frames).  Measured tunnel economics (r4 probes): one
+host<->device synchronization costs a fixed ~29 ms round trip
+REGARDLESS of payload; enqueues are free; payload streams at ~62 MB/s;
+and N async copies issued together collapse into ONE round trip.  So
+the winning layout is:
+
+  1. pick a mel-length BUCKET from the text length before dispatch
+     (speech length tracks text length; LJSpeech averages ~6.2 mel
+     frames per character, the default heuristic pads that to 7/char
+     + 40 so under-prediction is rare);
+  2. run ONE compiled program for that bucket — decode capped at the
+     bucket, bucket-length vocode, int16 PCM out (half-width: the
+     exact bytes a WAV stores); and
+  3. fetch PCM + ``frame_ends`` with batched async copies — one round
+     trip, bucket-proportional payload.
+  4. If the gate never fired inside the bucket (``frame_ends`` hit the
+     cap), escalate once to the full ``max_steps`` program — the rare
+     mispredict costs one extra dispatch, exactly what the
+     non-proportional path always paid.
+
+A 300-frame utterance then pays a 384-frame decode+Griffin-Lim and a
+~196 KB transfer instead of a 1000-frame tail and ~1 MB fp32 buffer.
+
+The two-phase split (``decode_mel_fused`` + ``vocode_bucket_*``) keeps
+the postnet mel device-resident between the phases; it pays a second
+round trip, so it suits SERVING (where one decode feeds retries or
+multiple vocoders and batches amortize the RTT), not the batch-1
+latency path above.
 """
 
 from __future__ import annotations
@@ -114,6 +150,237 @@ def synthesize_wav_fused_hifigan(params, model_state, hifigan_params,
     else:
         wav = hifigan_apply(hifigan_params, mel_ct)
     return wav, mel, n_frames, frame_ends
+
+
+# Mel-length buckets for the length-proportional path: the 128-frame grid
+# the modular CLI vocoder already uses (infer/vocode.py), densified toward
+# short utterances where proportionality matters most.
+VOCODE_BUCKETS = (128, 256, 384, 512, 640, 768, 896, 1000)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mcfg", "max_steps", "gate_threshold", "stop_mode"))
+def decode_mel_fused(params, model_state, mcfg: ModelConfig,
+                     tokens: jnp.ndarray,
+                     text_lengths: Optional[jnp.ndarray] = None,
+                     speaker_ids: Optional[jnp.ndarray] = None, *,
+                     max_steps: Optional[int] = None,
+                     gate_threshold: Optional[float] = None,
+                     stop_mode: str = "any",
+                     forced_stop_at: Optional[jnp.ndarray] = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """tokens (B, T_enc) -> (mel_postnet (B, S, n_mels), n_frames,
+    frame_ends), all DEVICE-RESIDENT.
+
+    Phase 1 of the bucketed pipeline: callers fetch only the scalar
+    ``frame_ends`` (4 bytes/item) and hand the mel straight to a
+    :func:`vocode_bucket_pcm16` program — the (B, S, n_mels) buffer never
+    crosses the host boundary."""
+    out, n_frames, frame_ends = tacotron2_infer(
+        params, model_state, mcfg, tokens, max_steps=max_steps,
+        gate_threshold=gate_threshold, text_lengths=text_lengths,
+        speaker_ids=speaker_ids, stop_mode=stop_mode,
+        forced_stop_at=forced_stop_at)
+    return out.mel_postnet, n_frames, frame_ends
+
+
+def _mask_and_slice(mel: jnp.ndarray, frame_ends: jnp.ndarray,
+                    bucket: int, mel_eps: float) -> jnp.ndarray:
+    """(B, S, n_mels) -> (B, bucket, n_mels) with post-gate frames at the
+    log floor (static slice: bucket is a compile-time constant)."""
+    mel = mel[:, :bucket]
+    valid = (jnp.arange(bucket)[None, :, None]
+             < frame_ends[:, None, None])
+    return jnp.where(valid, mel, jnp.float32(np.log(mel_eps)))
+
+
+def _to_pcm16(wav: jnp.ndarray) -> jnp.ndarray:
+    """float waveform -> int16 PCM on device (the bytes a WAV stores;
+    halves the D2H next to fp32)."""
+    return jnp.clip(jnp.round(wav * 32767.0),
+                    -32768.0, 32767.0).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnames=("acfg", "bucket", "gl_iters"))
+def vocode_bucket_pcm16(mel: jnp.ndarray, frame_ends: jnp.ndarray,
+                        acfg: AudioConfig, bucket: int,
+                        gl_iters: int = 60) -> jnp.ndarray:
+    """Device-resident mel (B, S, n_mels) -> int16 PCM (B, bucket*hop)
+    via Griffin-Lim over just the ``bucket``-frame prefix.
+
+    Phase 2 of the bucketed pipeline: one compiled program per bucket,
+    compute AND output transfer proportional to the bucket — a 300-frame
+    utterance runs the 384-frame program, not the 1000-frame tail."""
+    mel = _mask_and_slice(mel, frame_ends, bucket, acfg.mel_eps)
+    mel_lin = jnp.exp(jnp.swapaxes(mel, 1, 2))             # (B, n_mels, b)
+    linear = mel_to_linear(mel_lin, sr=acfg.sampling_rate, n_fft=acfg.n_fft,
+                           n_mels=acfg.n_mels, fmin=acfg.fmin,
+                           fmax=acfg.fmax)
+    wav = griffin_lim(linear, n_fft=acfg.n_fft, hop_length=acfg.hop_length,
+                      win_length=acfg.win_length, n_iter=gl_iters,
+                      length=bucket * acfg.hop_length)
+    return _to_pcm16(wav)
+
+
+@functools.partial(jax.jit, static_argnames=("acfg", "bucket"))
+def vocode_bucket_hifigan_pcm16(hifigan_params, mel: jnp.ndarray,
+                                frame_ends: jnp.ndarray, acfg: AudioConfig,
+                                bucket: int) -> jnp.ndarray:
+    """HiFi-GAN twin of :func:`vocode_bucket_pcm16` (the reference's
+    primary vocoder, reference: inference.py:40-54)."""
+    from ..models.hifigan import hifigan_apply
+    mel = _mask_and_slice(mel, frame_ends, bucket, acfg.mel_eps)
+    wav = hifigan_apply(hifigan_params, jnp.swapaxes(mel, 1, 2))
+    return _to_pcm16(wav)
+
+
+def pick_bucket(n_frames: int, max_steps: int,
+                buckets: Tuple[int, ...] = VOCODE_BUCKETS) -> int:
+    """Smallest bucket covering ``n_frames``, capped at ``max_steps``."""
+    for b in buckets:
+        if b >= n_frames:
+            return min(b, max_steps)
+    return max_steps
+
+
+def synthesize_wav_buckets(params, model_state, mcfg: ModelConfig,
+                           acfg: AudioConfig, tokens: jnp.ndarray,
+                           text_lengths: Optional[jnp.ndarray] = None,
+                           speaker_ids: Optional[jnp.ndarray] = None, *,
+                           max_steps: Optional[int] = None,
+                           gate_threshold: Optional[float] = None,
+                           stop_mode: str = "any", gl_iters: int = 60,
+                           hifigan_params=None,
+                           forced_stop_at: Optional[jnp.ndarray] = None,
+                           buckets: Tuple[int, ...] = VOCODE_BUCKETS
+                           ) -> Tuple[jnp.ndarray, np.ndarray]:
+    """tokens (B, T_enc) -> (pcm16 (B, bucket*hop) int16, frame_ends np).
+
+    The length-proportional synthesis pipeline: decode (mel stays on
+    device) -> fetch frame_ends (scalars) -> pick the smallest covering
+    bucket -> bucket-sized vocode returning int16 PCM.  Sample b's audio
+    is valid up to ``frame_ends[b] * hop_length`` samples; divide by
+    32767 for float."""
+    mel, _, frame_ends = decode_mel_fused(
+        params, model_state, mcfg, tokens, text_lengths, speaker_ids,
+        max_steps=max_steps, gate_threshold=gate_threshold,
+        stop_mode=stop_mode, forced_stop_at=forced_stop_at)
+    ends_np = np.asarray(frame_ends)                       # tiny D2H
+    bucket = pick_bucket(max(int(ends_np.max()), 1),
+                         mel.shape[1], buckets)
+    if hifigan_params is not None:
+        pcm = vocode_bucket_hifigan_pcm16(hifigan_params, mel, frame_ends,
+                                          acfg, bucket)
+    else:
+        pcm = vocode_bucket_pcm16(mel, frame_ends, acfg, bucket,
+                                  gl_iters=gl_iters)
+    return pcm, ends_np
+
+
+# LJSpeech averages ~6.2 mel frames per input character (24 h of audio /
+# ~1.2 M transcript characters at 86.13 frames/s); the default predictor
+# pads that to 7/char + 40 frames so the gate rarely outruns the bucket.
+FRAMES_PER_TOKEN = 7.0
+FRAMES_MARGIN = 40
+
+
+def estimate_frames(n_tokens: int, frames_per_token: float = FRAMES_PER_TOKEN,
+                    margin: int = FRAMES_MARGIN) -> int:
+    """Predicted mel-frame count for an ``n_tokens``-character input —
+    the pre-dispatch bucket picker for the length-proportional path."""
+    return int(np.ceil(frames_per_token * n_tokens + margin))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mcfg", "acfg", "bucket", "gate_threshold", "stop_mode", "gl_iters",
+    "use_hifigan"))
+def _synthesize_pcm_bucket(params, model_state, hifigan_params,
+                           mcfg: ModelConfig, acfg: AudioConfig,
+                           tokens: jnp.ndarray,
+                           text_lengths: Optional[jnp.ndarray],
+                           speaker_ids: Optional[jnp.ndarray], *,
+                           bucket: int,
+                           gate_threshold: Optional[float],
+                           stop_mode: str, gl_iters: int,
+                           use_hifigan: bool,
+                           forced_stop_at: Optional[jnp.ndarray]
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ONE compiled program per bucket: decode capped at ``bucket`` ->
+    mask past the gate stop -> bucket-length vocode -> int16 PCM.
+    Everything — compute AND output bytes — is bucket-proportional."""
+    out, _, frame_ends = tacotron2_infer(
+        params, model_state, mcfg, tokens, max_steps=bucket,
+        gate_threshold=gate_threshold, text_lengths=text_lengths,
+        speaker_ids=speaker_ids, stop_mode=stop_mode,
+        forced_stop_at=forced_stop_at)
+    mel = _mask_and_slice(out.mel_postnet, frame_ends, bucket, acfg.mel_eps)
+    if use_hifigan:
+        from ..models.hifigan import hifigan_apply
+        wav = hifigan_apply(hifigan_params, jnp.swapaxes(mel, 1, 2))
+    else:
+        mel_lin = jnp.exp(jnp.swapaxes(mel, 1, 2))         # (B, n_mels, b)
+        linear = mel_to_linear(mel_lin, sr=acfg.sampling_rate,
+                               n_fft=acfg.n_fft, n_mels=acfg.n_mels,
+                               fmin=acfg.fmin, fmax=acfg.fmax)
+        wav = griffin_lim(linear, n_fft=acfg.n_fft,
+                          hop_length=acfg.hop_length,
+                          win_length=acfg.win_length, n_iter=gl_iters,
+                          length=bucket * acfg.hop_length)
+    return _to_pcm16(wav), frame_ends
+
+
+def synthesize_pcm_proportional(params, model_state, mcfg: ModelConfig,
+                                acfg: AudioConfig, tokens: jnp.ndarray,
+                                text_lengths: Optional[jnp.ndarray] = None,
+                                speaker_ids: Optional[jnp.ndarray] = None, *,
+                                expected_frames: Optional[int] = None,
+                                max_steps: Optional[int] = None,
+                                gate_threshold: Optional[float] = None,
+                                stop_mode: str = "any", gl_iters: int = 60,
+                                hifigan_params=None,
+                                forced_stop_at: Optional[jnp.ndarray] = None,
+                                buckets: Tuple[int, ...] = VOCODE_BUCKETS,
+                                frames_per_token: float = FRAMES_PER_TOKEN,
+                                frames_margin: int = FRAMES_MARGIN
+                                ) -> Tuple[np.ndarray, np.ndarray, int]:
+    """tokens (B, T_enc) -> (pcm16 (B, bucket*hop) int16 np, frame_ends np,
+    bucket) — the LENGTH-PROPORTIONAL one-dispatch synthesis path.
+
+    Picks the mel bucket from the text length BEFORE dispatch (or from
+    ``expected_frames`` when the caller knows better), runs the one-shot
+    bucket program, and fetches PCM + frame_ends with batched async
+    copies (one tunnel round trip).  If the gate never fired inside the
+    bucket, escalates once to the full ``max_steps`` program.  Sample
+    b's audio is valid up to ``frame_ends[b] * hop_length`` samples;
+    divide by 32767 for float."""
+    limit = mcfg.max_decoder_steps if max_steps is None else max_steps
+    if expected_frames is None:
+        if text_lengths is not None:
+            n_tok = int(np.max(np.asarray(text_lengths)))
+        else:
+            n_tok = int(tokens.shape[1])
+        expected_frames = estimate_frames(n_tok, frames_per_token,
+                                          frames_margin)
+    bucket = pick_bucket(expected_frames, limit, buckets)
+    while True:
+        pcm, ends = _synthesize_pcm_bucket(
+            params, model_state, hifigan_params, mcfg, acfg, tokens,
+            text_lengths, speaker_ids, bucket=bucket,
+            gate_threshold=gate_threshold, stop_mode=stop_mode,
+            gl_iters=gl_iters, use_hifigan=hifigan_params is not None,
+            forced_stop_at=forced_stop_at)
+        # Batched async copies -> ONE round trip for both outputs.
+        pcm.copy_to_host_async()
+        ends.copy_to_host_async()
+        pcm_np = np.asarray(pcm)
+        ends_np = np.asarray(ends)
+        if bucket >= limit or int(ends_np.max()) < bucket:
+            return pcm_np, ends_np, bucket
+        # Gate still open at the bucket cap: the prediction was short.
+        # One escalation to the full-length program settles it (a gate
+        # that fired EXACTLY at the cap reruns too — indistinguishable
+        # from a miss, and the rerun returns the identical audio).
+        bucket = limit
 
 
 def synthesize_wav(params, model_state, texts, cfg: Optional[Config] = None,
