@@ -27,10 +27,16 @@ Numerical contract: mirrors `models/decoder.py::decode_step` in eval mode
 (linear/LSTM matmuls consume the compute dtype and accumulate fp32; the
 attention tail casts qsum to the compute dtype, then runs tanh/energies/
 softmax in fp32; the context is fp32-accumulated from the compute-dtype
-memory — the `ops/attention_kernel.py` policy).  The location conv runs
-as an im2col matmul over 31 static lane-shifted windows of the
-previous/cumulative alignments — identical math to
-`layers.conv1d_apply`'s 'same'-padded conv.
+memory — the `ops/attention_kernel.py` policy).  The location-sensitive
+attention is fully BATCHED via the banded-matmul formulation the train
+kernel proves out (ops/decoder_train_kernel.py::build_wband): the
+composed location-conv + location-dense map is a precomputed band
+matrix, so the whole batch's location features are ONE
+(B, 2*(T+K-1)) @ (2*(T+K-1), T*adim) MXU matmul — identical math to
+`layers.conv1d_apply`'s 'same'-padded conv followed by the dense layer.
+This replaced r3's statically-unrolled per-item middle, which capped
+the kernel at B<=8; the batched kernel engages to serving-scale batches
+(B=64 at the reference dims) bounded only by the VMEM estimate.
 
 Exact while_loop bookkeeping is preserved: `stop_mode` "any"/"all",
 `drop_first_frame` (the reference's diagnostic-step quirk), the traced
@@ -65,14 +71,18 @@ def _vmem_estimate(cfg: ModelConfig, b: int, t_enc: int,
                    bytes_per_weight: int) -> int:
     """Rough resident-VMEM footprint of the megakernel (bytes)."""
     h = cfg.decoder_rnn_dim
+    adim = cfg.attention_dim
     in_dims = (cfg.prenet_dim + cfg.encoder_embedding_dim + h
                + h + cfg.encoder_embedding_dim + h)
     weights = in_dims * 4 * h + (h + cfg.encoder_embedding_dim) * 128
+    # banded location matrix (resident) — the price of the batched middle
+    wband = 2 * (t_enc + cfg.location_kernel_size - 1) * t_enc * adim
     per_item = (t_enc * cfg.encoder_embedding_dim * bytes_per_weight
-                + t_enc * cfg.attention_dim * 4       # pm fp32
+                + t_enc * adim * 4                    # pm fp32
+                + t_enc * adim * (bytes_per_weight + 8)  # qsum cdt + th/prod
                 + t_enc * 4 * 4                       # negmask/prev/cum/align
                 + 6 * h * 4)                          # carries + activations
-    return weights * bytes_per_weight + b * per_item
+    return (weights + wband) * bytes_per_weight + b * per_item
 
 
 def megakernel_enabled(cfg: ModelConfig, b: int = 1, t_enc: int = 128,
@@ -105,11 +115,9 @@ def megakernel_enabled(cfg: ModelConfig, b: int = 1, t_enc: int = 128,
         # semantics): per-shard stopping would change when decode ends.
         # Mesh inference takes the while_loop path.
         return False
-    # The per-item attention middle is statically unrolled; measured
-    # crossover vs the batch-amortized while_loop is around b=8
-    # (B=1: 2.1-2.6x device speedup, B=8: 1.35x, larger: wash).
-    if b > 8:
-        return False
+    # Batched banded-matmul middle (r4): no hard batch cap — the VMEM
+    # estimate is the gate (B=64 fits at the reference dims; B=128 does
+    # not).  r3's unrolled middle capped this at b=8.
     return _vmem_estimate(cfg, b, t_enc, bytes_per_weight) < _VMEM_BUDGET
 
 
@@ -118,7 +126,7 @@ def _kernel(drop_first: bool, stop_mode: str, max_steps: int, n_mels: int,
             # refs
             fscal, iscal,
             pw1, pw2, wi_a, wh_a, b_a, wi_d, wh_d, b_d,
-            wq, w_loc, w_ldense, v_w, w_heads, b_heads,
+            wq, wband, v3, w_heads, b_heads,
             mem, pm, negmask,
             frames_ref, aligns_ref, ends_ref, nf_ref,
             h_att, c_att, h_dec, c_dec, ctx_scr, prev_scr, cum_scr,
@@ -126,7 +134,7 @@ def _kernel(drop_first: bool, stop_mode: str, max_steps: int, n_mels: int,
     t = pl.program_id(0)
     n_steps = pl.num_programs(0)
     b = mel_scr.shape[0]
-    t_enc = prev_scr.shape[0]
+    t_enc = prev_scr.shape[1]
     cdt = wi_a.dtype
     f32 = jnp.float32
 
@@ -173,47 +181,31 @@ def _kernel(drop_first: bool, stop_mode: str, max_steps: int, n_mels: int,
         h_att[:] = ha_new
         c_att[:] = ca_new
 
-        # ---- location-sensitive attention ----
-        # Column-major per-item layout: the alignments live as (T_enc, B)
-        # columns so the 31-tap location conv becomes kloc*2 sublane-
-        # shifted vector FMAs and the softmax/context reduce over
-        # sublanes — everything stays 2D (Mosaic has no trailing-unit
-        # reshapes / batched dots).  The per-item attention middle is a
-        # statically unrolled loop (the kernel is gated to small B).
+        # ---- banded-matmul location-sensitive attention ----
+        # Whole-batch formulation (ops/decoder_train_kernel.py): the
+        # composed location conv + dense layer is the precomputed band
+        # matrix ``wband``, so location features for ALL items are one
+        # (B, 2P) @ (2P, T*adim) MXU matmul; tanh/energy/softmax/context
+        # batch as (B, T, ...) ops.
         pq = jnp.dot(ha_new.astype(cdt), wq[:],
                      preferred_element_type=f32)              # (B, adim)
         lpad = (kloc - 1) // 2
-        zl = jnp.zeros((lpad, b), f32)
-        zr = jnp.zeros((kloc - 1 - lpad, b), f32)
-        ppad = jnp.concatenate([zl, prev_scr[:], zr], axis=0)
-        cpad = jnp.concatenate([zl, cum_scr[:], zr], axis=0)
-        wloc = w_loc[:].astype(f32)                          # (2K, F)
-        attn_cols = []
-        ctx_rows = []
-        for i in range(b):
-            # conv as kloc*2 shifted rank-1 FMAs -> (T, F) fp32
-            loc32 = ppad[0:t_enc, i:i + 1] * wloc[0:1, :]
-            for k in range(1, kloc):
-                loc32 = loc32 + ppad[k:k + t_enc, i:i + 1] * wloc[k:k + 1, :]
-            for k in range(kloc):
-                loc32 = loc32 + (cpad[k:k + t_enc, i:i + 1]
-                                 * wloc[kloc + k:kloc + k + 1, :])
-            loc = jnp.dot(loc32.astype(cdt), w_ldense[:],
-                          preferred_element_type=f32)         # (T, adim)
-            qsum = (pq[i:i + 1, :] + pm[i] + loc).astype(cdt)
-            th = jnp.tanh(qsum.astype(f32))
-            e = jnp.dot(th, v_w[:], preferred_element_type=f32)  # (T, 1)
-            e = (e + fscal[1]) * fscal[2] + negmask[:, i:i + 1]
-            m = jnp.max(e, axis=0, keepdims=True)
-            ex = jnp.exp(e - m)
-            attn_i = ex / jnp.sum(ex, axis=0, keepdims=True)  # (T, 1)
-            ctx_rows.append(jnp.sum(attn_i * mem[i].astype(f32),
-                                    axis=0, keepdims=True))   # (1, D)
-            attn_cols.append(attn_i)
-        attn = (attn_cols[0] if b == 1
-                else jnp.concatenate(attn_cols, axis=1))      # (T, B)
-        ctx = (ctx_rows[0] if b == 1
-               else jnp.concatenate(ctx_rows, axis=0))        # (B, D)
+        zl = jnp.zeros((b, lpad), f32)
+        zr = jnp.zeros((b, kloc - 1 - lpad), f32)
+        prevcat = jnp.concatenate(
+            [zl, prev_scr[:], zr, zl, cum_scr[:], zr], axis=-1)
+        loc2 = jnp.dot(prevcat.astype(cdt), wband[:],
+                       preferred_element_type=f32)            # (B, T*A)
+        qsum = (pq[:, None, :] + pm[:]
+                + loc2.reshape(b, t_enc, adim)).astype(cdt)
+        th = jnp.tanh(qsum.astype(f32))                       # (B, T, A)
+        e = jnp.sum(th * v3[:], axis=-1)                      # (B, T)
+        e = (e + fscal[1]) * fscal[2] + negmask[:]
+        m = jnp.max(e, axis=-1, keepdims=True)
+        ex = jnp.exp(e - m)
+        attn = ex / jnp.sum(ex, axis=-1, keepdims=True)       # (B, T)
+        ctx = jnp.sum(jnp.broadcast_to(attn[:, :, None], mem.shape)
+                      * mem[:].astype(f32), axis=1)           # (B, D)
         prev_scr[:] = attn
         cum_scr[:] = cum_scr[:] + attn
         ctx_scr[:] = ctx
@@ -274,7 +266,7 @@ def _kernel(drop_first: bool, stop_mode: str, max_steps: int, n_mels: int,
         frames_ref[0] = jnp.concatenate(
             [jnp.zeros((b, n_mels), f32), jnp.full((b, 1), _NEG, f32)],
             axis=-1)
-        aligns_ref[0] = jnp.zeros((t_enc, b), f32)
+        aligns_ref[0] = jnp.zeros((b, t_enc), f32)
 
     @pl.when(t == n_steps - 1)
     def _():
@@ -313,15 +305,15 @@ def decoder_infer_mega(params: Dict[str, Any], cfg: ModelConfig,
            + params["attn_lstm"]["bh"]).astype(f32)[None, :]
     b_d = (params["dec_lstm"]["bi"]
            + params["dec_lstm"]["bh"]).astype(f32)[None, :]
-    lw = att["location_conv"]["w"]                        # (F, 2, K)
-    w_loc = jnp.concatenate([lw[:, 0, :], lw[:, 1, :]],
-                            axis=1).T.astype(cdt)         # (2K, F)
+    from .decoder_train_kernel import build_wband
+    wband = build_wband(att, t_enc, adim, kloc, cdt)      # (2P, T*adim)
+    v3 = att["v"]["w"][:, 0].astype(f32)[None, None, :]   # (1, 1, adim)
     w_heads = jnp.concatenate([params["proj"]["w"], params["gate"]["w"]],
                               axis=1).astype(cdt)         # (1536, M+1)
     b_heads = jnp.concatenate([params["proj"]["b"],
                                params["gate"]["b"]]).astype(f32)[None, :]
-    negmask = (jnp.where(mask, _NEG, 0.0).astype(f32).T
-               if mask is not None else jnp.zeros((t_enc, b), f32))
+    negmask = (jnp.where(mask, _NEG, 0.0).astype(f32)
+               if mask is not None else jnp.zeros((b, t_enc), f32))
     fscal = jnp.stack([jnp.asarray(gate_threshold, f32),
                        att["v"]["b"][0].astype(f32),
                        att["energy_scale"].astype(f32)])
@@ -353,24 +345,23 @@ def decoder_infer_mega(params: Dict[str, Any], cfg: ModelConfig,
             const((h, 4 * h)),
             const((1, 4 * h)),
             const((h, adim)),                             # wq
-            const((2 * kloc, cfg.location_n_filters)),    # w_loc
-            const((cfg.location_n_filters, adim)),        # w_ldense
-            const((adim, 1)),                             # v_w
+            const((2 * (t_enc + kloc - 1), t_enc * adim)),  # wband
+            const((1, 1, adim)),                          # v3
             const((h + cfg.encoder_embedding_dim, n_mels + 1)),
             const((1, n_mels + 1)),
             const((b, t_enc, cfg.encoder_embedding_dim)), # memory
             const((b, t_enc, adim)),                      # pm
-            const((t_enc, b)),                            # negmask
+            const((b, t_enc)),                            # negmask
         ],
         out_specs=[
             row((b, n_mels + 1)),
-            row((t_enc, b)),
+            row((b, t_enc)),
             pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((s1, b, n_mels + 1), f32),
-            jax.ShapeDtypeStruct((s1, t_enc, b), f32),
+            jax.ShapeDtypeStruct((s1, b, t_enc), f32),
             jax.ShapeDtypeStruct((b, 1), jnp.int32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ],
@@ -380,8 +371,8 @@ def decoder_infer_mega(params: Dict[str, Any], cfg: ModelConfig,
             pltpu.VMEM((b, h), f32),        # h_dec
             pltpu.VMEM((b, h), f32),        # c_dec
             pltpu.VMEM((b, cfg.encoder_embedding_dim), f32),
-            pltpu.VMEM((t_enc, b), f32),    # prev
-            pltpu.VMEM((t_enc, b), f32),    # cum
+            pltpu.VMEM((b, t_enc), f32),    # prev
+            pltpu.VMEM((b, t_enc), f32),    # cum
             pltpu.VMEM((b, n_mels), f32),   # fed-back mel
             pltpu.VMEM((b, 128), jnp.int32),  # done
             pltpu.VMEM((b, 128), jnp.int32),  # item_end
@@ -395,14 +386,13 @@ def decoder_infer_mega(params: Dict[str, Any], cfg: ModelConfig,
       params["attn_lstm"]["wh"].astype(cdt), b_a,
       params["dec_lstm"]["wi"].astype(cdt),
       params["dec_lstm"]["wh"].astype(cdt), b_d,
-      att["query"]["w"].astype(cdt), w_loc,
-      att["location_dense"]["w"].astype(cdt),
-      att["v"]["w"].astype(f32), w_heads, b_heads,
+      att["query"]["w"].astype(cdt), wband, v3,
+      w_heads, b_heads,
       memory.astype(cdt), pm, negmask)
 
     sl = slice(1, None) if drop_first_frame else slice(0, max_steps)
     frames = frames[sl]
     mels = jnp.swapaxes(frames[..., :n_mels], 0, 1)       # (B, S, n_mels)
     gates = jnp.swapaxes(frames[..., n_mels], 0, 1)       # (B, S)
-    aligns_out = jnp.transpose(aligns[sl], (2, 0, 1))     # (B, S, T_enc)
+    aligns_out = jnp.swapaxes(aligns[sl], 0, 1)           # (B, S, T_enc)
     return mels, gates, aligns_out, nf[0], ends[:, 0]

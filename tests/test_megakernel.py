@@ -115,3 +115,34 @@ class TestEnabledGating:
         assert not megakernel_enabled(off, b=1)
         monkeypatch.delenv("TACOTRON2_MEGA_DECODER")
         assert not megakernel_enabled(off, b=1)
+
+
+class TestBatchedMiddle:
+    """r4: the banded-matmul attention middle batches the kernel to
+    serving-scale B (the r3 unrolled middle was gated to B<=8)."""
+
+    @pytest.mark.parametrize("b", [16, 64])
+    def test_large_batch_parity(self, b):
+        os.environ["TACOTRON2_FUSED_ATTENTION"] = "0"
+        try:
+            params = decoder_init(jax.random.PRNGKey(0), SMALL)
+            memory = jax.random.normal(
+                jax.random.PRNGKey(2), (b, T_ENC, 32)) * 0.5
+            lens = 4 + (jnp.arange(b) % (T_ENC - 4))
+            mask = jnp.arange(T_ENC)[None, :] >= lens[:, None]
+            args = dict(mask=mask, stop_mode="all",
+                        forced_stop_at=jnp.int32(6))
+            ref = decoder_infer(params, SMALL, memory, MAX, 0.5, **args)
+            got = decoder_infer_mega(params, SMALL, memory, MAX, 0.5, **args)
+            assert_parity(ref, got)
+        finally:
+            os.environ.pop("TACOTRON2_FUSED_ATTENTION", None)
+
+    def test_enabled_window_covers_serving_batches(self):
+        """At the reference dims the VMEM estimate admits B=64 bf16 (the
+        serving coalesce sizes) and rejects B=256; B=128 sits at the
+        margin (~96 MB of the 100 MB budget) and is settled on-chip."""
+        from tacotron2_tpu.ops.decoder_megakernel import _vmem_estimate
+        ref_cfg = ModelConfig()
+        assert _vmem_estimate(ref_cfg, 64, 128, 2) < 100 * 1024 * 1024
+        assert _vmem_estimate(ref_cfg, 256, 128, 2) > 100 * 1024 * 1024
