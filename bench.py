@@ -311,6 +311,12 @@ def main():
     secondary["train_frames_per_sec_b16"] = round(train_fps)
 
     # DEVICE train-step time (same rationale as rtf_batch1_device).
+    # Methodology note (r3 ADVICE): the traced steps reuse ONE staged
+    # batch — fine for a device-time measurement (the profiler reads the
+    # XLA module's execution span, and the runtime cannot dedupe the
+    # executions because the donated train state differs every step);
+    # the WALL metric above stages a fresh batch per step, as the
+    # training loop's prefetch does.
     tb_dev = stage(train_batch())
 
     def traced_step():
@@ -354,7 +360,8 @@ def main():
             return int(np.asarray(ends)[0])
 
         n_es = run_earlystop(stop_at)  # compile (forced-stop executable)
-        wall_es, _ = min_wall(lambda: run_earlystop(stop_at))
+        wall_es, walls_es = min_wall(lambda: run_earlystop(stop_at),
+                                     iters=5)
         audio_es = n_es * acfg.hop_length / acfg.sampling_rate
         rtf_es = wall_es / audio_es
         log(f"early-stop decode (forced at {stop_at}): stopped at {n_es} "
@@ -363,6 +370,8 @@ def main():
             f"{max_steps}-frame static buffer)")
         secondary["earlystop300_frames"] = n_es
         secondary["rtf_batch1_earlystop300"] = round(rtf_es, 6)
+        secondary["rtf_batch1_earlystop300_median"] = round(
+            float(np.median(walls_es)) / audio_es, 6)
 
         # Same early-stop decode through the CLI/serving path (modular
         # decode -> 128-frame-bucketed Griffin-Lim, infer/vocode.py): the
@@ -382,13 +391,60 @@ def main():
             return int(n), wav
 
         n_esb, _ = run_earlystop_bucketed(stop_at)  # compile both programs
-        wall_esb, _ = min_wall(lambda: run_earlystop_bucketed(stop_at))
+        wall_esb, walls_esb = min_wall(
+            lambda: run_earlystop_bucketed(stop_at), iters=5)
         rtf_esb = wall_esb / (n_esb * acfg.hop_length / acfg.sampling_rate)
         log(f"early-stop decode, bucketed vocode (CLI path): {n_esb} "
             f"frames, wall {wall_esb:.3f}s -> RTF {rtf_esb:.5f} "
             f"(vocoder runs the {-(-n_esb // 128) * 128}-frame bucket, "
             f"not the {max_steps}-frame static buffer)")
         secondary["rtf_batch1_earlystop300_bucketed"] = round(rtf_esb, 6)
+        secondary["rtf_batch1_earlystop300_bucketed_median"] = round(
+            float(np.median(walls_esb))
+            / (n_esb * acfg.hop_length / acfg.sampling_rate), 6)
+
+        # The LENGTH-PROPORTIONAL one-dispatch path (r4, VERDICT item 1):
+        # the mel bucket is picked from the text length BEFORE dispatch
+        # (48 chars ~ a 3.5 s LJSpeech utterance ~ 300 frames -> the
+        # 384-frame bucket), so the program pays a 384-frame decode cap +
+        # 384-frame Griffin-Lim + a ~196 KB int16 PCM fetch — never the
+        # 1000-frame static tail or the ~1 MB fp32 buffer.  PCM +
+        # frame_ends ride ONE batched-async round trip.
+        from tacotron2_tpu.infer.fused import synthesize_pcm_proportional
+        text_len = 48
+
+        def run_oneshot(stop_frame):
+            tokens = jnp.asarray(rng.integers(1, 72, (1, 64)), jnp.int32)
+            lengths = jnp.full((1,), text_len, jnp.int32)
+            pcm, ends, bucket = synthesize_pcm_proportional(
+                params, state, cfg.model, acfg, tokens, lengths, None,
+                max_steps=max_steps, forced_stop_at=jnp.int32(stop_frame))
+            return int(ends[0]), bucket
+
+        n_oss, bucket_os = run_oneshot(stop_at)   # compile (bucket program)
+        wall_os, walls_os = min_wall(lambda: run_oneshot(stop_at), iters=7)
+        audio_os = n_oss * acfg.hop_length / acfg.sampling_rate
+        rtf_os = wall_os / audio_os
+        rtf_os_med = float(np.median(walls_os)) / audio_os
+        log(f"early-stop ONE-SHOT proportional path: stopped at {n_oss} "
+            f"frames in the {bucket_os}-frame bucket, wall {wall_os:.4f}s "
+            f"(median {np.median(walls_os):.4f}s over {len(walls_os)}) -> "
+            f"RTF {rtf_os:.5f} (median {rtf_os_med:.5f})")
+        secondary["rtf_batch1_earlystop300_oneshot"] = round(rtf_os, 6)
+        secondary["rtf_batch1_earlystop300_oneshot_median"] = round(
+            rtf_os_med, 6)
+        secondary["earlystop300_oneshot_bucket"] = bucket_os
+
+        # Chip-only cost of the same program (transport-independent,
+        # VERDICT r3 item 7: every headline-adjacent metric carries a
+        # device-time secondary).
+        dev_os = device_time(lambda: run_oneshot(stop_at),
+                             "_synthesize_pcm_bucket", n=3)
+        if dev_os is not None:
+            secondary["rtf_batch1_earlystop300_oneshot_device"] = round(
+                dev_os / audio_os, 6)
+            log(f"early-stop one-shot DEVICE time {dev_os:.4f}s -> device "
+                f"RTF {dev_os / audio_os:.5f}")
     except Exception as e:
         log(f"early-stop decode bench skipped: {e}")
 
@@ -411,17 +467,31 @@ def main():
             mel_eps=acfg.mel_eps)
         float(mels[-1, -1, -1])   # host transfer = real sync on axon
     run_preprocess(sigs_pp[0])  # compile
-    walls = [0.0] * 3
-    for i in range(3):
+    walls = [0.0] * 5
+    for i in range(5):
         t0 = time.time()
         run_preprocess(sigs_pp[1 - (i % 2)])
         walls[i] = time.time() - t0
     pp_wall = float(np.min(walls))
+    pp_med = float(np.median(walls))
     audio_sec_pp = b_pp * 7.0
     log(f"preprocess: {audio_sec_pp:.0f}s of audio -> mels in "
-        f"{pp_wall:.3f}s ({audio_sec_pp / pp_wall:.0f}x real-time)")
+        f"{pp_wall:.3f}s min / {pp_med:.3f}s median "
+        f"({audio_sec_pp / pp_wall:.0f}x real-time; wall includes the "
+        f"~10 MB mel D2H, which through the tunnel is transport, not chip)")
     secondary["preprocess_audio_sec_per_sec"] = round(
         audio_sec_pp / pp_wall, 1)
+    secondary["preprocess_audio_sec_per_sec_median"] = round(
+        audio_sec_pp / pp_med, 1)
+    # Chip-only mel-extraction cost (VERDICT r3 item 7: separate the
+    # host+device floor from tunnel transport weather).
+    dev_pp = device_time(lambda: run_preprocess(sigs_pp[0]),
+                         "batched_log_mel", n=2)
+    if dev_pp is not None:
+        secondary["preprocess_audio_sec_per_sec_device"] = round(
+            audio_sec_pp / dev_pp)
+        log(f"preprocess DEVICE time {dev_pp:.4f}s = "
+            f"{audio_sec_pp / dev_pp:.0f}x real-time on-chip")
 
     print(json.dumps({
         "metric": "synthesis_rtf_batch1",

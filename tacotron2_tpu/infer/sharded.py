@@ -63,24 +63,21 @@ class ShardedSynthesizer:
             raise ValueError(f"mesh must have a 'data' axis, has "
                              f"{mesh.axis_names}")
         self.cfg = cfg or Config()
-        if mesh.size > 1 and self.cfg.model.decoder_megakernel:
-            # The inference megakernel's gate-stop flags couple the GLOBAL
-            # batch per step, so mesh serving always takes the while_loop
-            # decode, whose matmuls XLA partitions (the kernel also
-            # self-gates off under a registered mesh —
-            # ops/decoder_megakernel.py::megakernel_enabled — but a
-            # cleared config is authoritative and survives later context
-            # changes).
-            import dataclasses
-            self.cfg = dataclasses.replace(
-                self.cfg, model=dataclasses.replace(
-                    self.cfg.model, decoder_megakernel=False))
-        # Register the mesh so the fused Pallas attention tail inside the
-        # while_loop decode shards over ``data`` and runs on local batch
-        # shards (ops/meshing.py) instead of forcing GSPMD to replicate
-        # the global batch through the custom call every decode step.
+        # Register the mesh so the decode's Pallas kernels shard over
+        # ``data`` and run on local batch shards (ops/meshing.py): on a
+        # data-only mesh the whole-decode megakernel engages PER SHARD
+        # (weights VMEM-resident on every core, per-shard gate stops —
+        # sound because serving always decodes stop_mode="all", see
+        # ops/decoder_megakernel.py::megakernel_enabled); batches past
+        # its VMEM window, and TP meshes, take the while_loop decode
+        # with the shard_mapped fused attention tail.  The registration
+        # is process-global trace-time state — scope it with close()
+        # (or use the instance as a context manager) so later
+        # single-device jit traces in the same process don't silently
+        # shard over a stale mesh.
         from ..ops.meshing import set_kernel_mesh
-        set_kernel_mesh(mesh)
+        self._prev_kernel_mesh = set_kernel_mesh(mesh)
+        self._mesh_registered = True
         self.mesh = mesh
         self.n_data = mesh.shape["data"]
         self.gl_iters = gl_iters
@@ -102,6 +99,24 @@ class ShardedSynthesizer:
         self.hifigan_params = (None if hifigan_params is None
                                else jax.device_put(hifigan_params, rep))
         self._batch_sharding = NamedSharding(mesh, P("data"))
+
+    def close(self):
+        """Restore the kernel-mesh registration this synthesizer made.
+
+        After ``close()`` new jit traces (a plain Synthesizer, bench code)
+        stop shard_mapping their Pallas calls over this mesh; already-
+        compiled programs keep working.  Idempotent."""
+        if getattr(self, "_mesh_registered", False):
+            from ..ops.meshing import set_kernel_mesh
+            set_kernel_mesh(*self._prev_kernel_mesh)
+            self._mesh_registered = False
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
     def __call__(self, texts: Sequence[str],
                  speaker_id=None,

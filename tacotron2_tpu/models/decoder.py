@@ -246,7 +246,8 @@ def decoder_infer(params: Dict[str, Any], cfg: ModelConfig,
     from ..ops.decoder_megakernel import decoder_infer_mega, \
         megakernel_enabled
     if megakernel_enabled(cfg, b, t_enc,
-                          params["attn_lstm"]["wi"].dtype.itemsize):
+                          params["attn_lstm"]["wi"].dtype.itemsize,
+                          stop_mode=stop_mode):
         # Whole-decode Pallas megakernel: weights stay VMEM-resident
         # across the sequential time grid instead of re-streaming from
         # HBM every step (see ops/decoder_megakernel.py).

@@ -86,20 +86,21 @@ def _vmem_estimate(cfg: ModelConfig, b: int, t_enc: int,
 
 
 def megakernel_enabled(cfg: ModelConfig, b: int = 1, t_enc: int = 128,
-                       bytes_per_weight: int = 4) -> bool:
+                       bytes_per_weight: int = 4,
+                       stop_mode: str = "any") -> bool:
     """Route eval-mode decode through the megakernel?  Env kill-switch
     TACOTRON2_MEGA_DECODER overrides the config; TPU backends only, and
     only when the resident working set fits VMEM (large batches fall
     back to the while_loop path, which is batch-amortized anyway).
 
-    Single-core only: a Pallas custom call has no GSPMD partitioning
-    rule, so mesh users (train/loop.py, infer/sharded.py, the dryrun
-    entry) clear ``cfg.decoder_megakernel`` when ``mesh.size > 1`` and
-    take the while_loop path, whose matmuls XLA partitions.  A cleared
-    config is AUTHORITATIVE: the env force-flag can only enable the
-    kernel where the config allows it (otherwise setting
-    TACOTRON2_MEGA_DECODER=1 would silently re-insert the
-    un-partitionable custom call under a mesh)."""
+    Under a registered data-only mesh (ops/meshing.py) the kernel
+    shard_maps over the ``data`` axis — each core keeps the full weights
+    VMEM-resident and decodes its LOCAL batch shard to per-shard gate
+    stops; requires ``stop_mode="all"`` (per-item stopping semantics,
+    see the mesh note in the body).  TP meshes take the while_loop path
+    (tensor parallelism shards the very weights this kernel keeps
+    resident).  A cleared config is AUTHORITATIVE: the env force-flag
+    can only enable the kernel where the config allows it."""
     if not bool(getattr(cfg, "decoder_megakernel", True)):
         return False
     flag = os.environ.get("TACOTRON2_MEGA_DECODER")
@@ -107,14 +108,21 @@ def megakernel_enabled(cfg: ModelConfig, b: int = 1, t_enc: int = 128,
         return False
     if jax.default_backend() != "tpu":
         return False
-    from .meshing import data_axis_size
-    if data_axis_size() > 1:
-        # Unlike the TRAINING megakernels (shard_map-composable over the
-        # data axis, ops/decoder_train_kernel.py), the inference kernel's
-        # gate-stop flags couple the GLOBAL batch per step ("any"/"all"
-        # semantics): per-shard stopping would change when decode ends.
-        # Mesh inference takes the while_loop path.
-        return False
+    from .meshing import data_axis_size, mesh_is_data_only
+    n = data_axis_size()
+    if n > 1:
+        # Mesh composition (r4): the kernel shard_maps over the data
+        # axis with PER-SHARD gate-stop semantics.  Sound only under
+        # stop_mode="all" — each item decodes to its OWN gate stop, so
+        # per-item frames and frame_ends are identical to the global
+        # program; only the garbage region past each item's end differs
+        # (zeros vs stale decode frames), and every consumer masks by
+        # frame_ends.  Under "any" the FIRST gate anywhere ends the
+        # whole batch, which per-shard stopping would change — that
+        # path (batch-1 latency) keeps the while_loop under a mesh.
+        if stop_mode != "all" or not mesh_is_data_only() or b % n != 0:
+            return False
+        b = b // n
     # Batched banded-matmul middle (r4): no hard batch cap — the VMEM
     # estimate is the gate (B=64 fits at the reference dims; B=128 does
     # not).  r3's unrolled middle capped this at b=8.
@@ -330,69 +338,92 @@ def decoder_infer_mega(params: Dict[str, Any], cfg: ModelConfig,
     kern = functools.partial(_kernel, drop_first_frame, stop_mode,
                              max_steps, n_mels, h, cfg.prenet_dim,
                              cfg.encoder_embedding_dim, adim, kloc)
-    frames, aligns, ends, nf = pl.pallas_call(
-        kern,
-        grid=(s1,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # fscal
-            pl.BlockSpec(memory_space=pltpu.SMEM),        # iscal
-            const((n_mels, cfg.prenet_dim)),
-            const((cfg.prenet_dim, cfg.prenet_dim)),
-            const((cfg.prenet_dim + cfg.encoder_embedding_dim, 4 * h)),
-            const((h, 4 * h)),
-            const((1, 4 * h)),
-            const((h + cfg.encoder_embedding_dim, 4 * h)),
-            const((h, 4 * h)),
-            const((1, 4 * h)),
-            const((h, adim)),                             # wq
-            const((2 * (t_enc + kloc - 1), t_enc * adim)),  # wband
-            const((1, 1, adim)),                          # v3
-            const((h + cfg.encoder_embedding_dim, n_mels + 1)),
-            const((1, n_mels + 1)),
-            const((b, t_enc, cfg.encoder_embedding_dim)), # memory
-            const((b, t_enc, adim)),                      # pm
-            const((b, t_enc)),                            # negmask
-        ],
-        out_specs=[
-            row((b, n_mels + 1)),
-            row((b, t_enc)),
-            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((s1, b, n_mels + 1), f32),
-            jax.ShapeDtypeStruct((s1, b, t_enc), f32),
-            jax.ShapeDtypeStruct((b, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1,), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((b, h), f32),        # h_att
-            pltpu.VMEM((b, h), f32),        # c_att
-            pltpu.VMEM((b, h), f32),        # h_dec
-            pltpu.VMEM((b, h), f32),        # c_dec
-            pltpu.VMEM((b, cfg.encoder_embedding_dim), f32),
-            pltpu.VMEM((b, t_enc), f32),    # prev
-            pltpu.VMEM((b, t_enc), f32),    # cum
-            pltpu.VMEM((b, n_mels), f32),   # fed-back mel
-            pltpu.VMEM((b, 128), jnp.int32),  # done
-            pltpu.VMEM((b, 128), jnp.int32),  # item_end
-            pltpu.SMEM((2,), jnp.int32),    # [stop, n_frames]
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_BUDGET),
-        interpret=jax.default_backend() != "tpu",
-    )(fscal, iscal, pw1, pw2,
-      params["attn_lstm"]["wi"].astype(cdt),
-      params["attn_lstm"]["wh"].astype(cdt), b_a,
-      params["dec_lstm"]["wi"].astype(cdt),
-      params["dec_lstm"]["wh"].astype(cdt), b_d,
-      att["query"]["w"].astype(cdt), wband, v3,
-      w_heads, b_heads,
-      memory.astype(cdt), pm, negmask)
+
+    def _call(fscal_, iscal_, pw1_, pw2_, wia_, wha_, ba_, wid_, whd_, bd_,
+              wq_, wband_, v3_, wh_, bh_, mem_, pm_, nm_):
+        # Batch size read from the (possibly shard-local) operand so the
+        # same closure serves both the single-core call and the
+        # shard_map-per-core call (mesh composition below).
+        bl = mem_.shape[0]
+        frames, aligns, ends, _nf = pl.pallas_call(
+            kern,
+            grid=(s1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),        # fscal
+                pl.BlockSpec(memory_space=pltpu.SMEM),        # iscal
+                const((n_mels, cfg.prenet_dim)),
+                const((cfg.prenet_dim, cfg.prenet_dim)),
+                const((cfg.prenet_dim + cfg.encoder_embedding_dim, 4 * h)),
+                const((h, 4 * h)),
+                const((1, 4 * h)),
+                const((h + cfg.encoder_embedding_dim, 4 * h)),
+                const((h, 4 * h)),
+                const((1, 4 * h)),
+                const((h, adim)),                             # wq
+                const((2 * (t_enc + kloc - 1), t_enc * adim)),  # wband
+                const((1, 1, adim)),                          # v3
+                const((h + cfg.encoder_embedding_dim, n_mels + 1)),
+                const((1, n_mels + 1)),
+                const((bl, t_enc, cfg.encoder_embedding_dim)),  # memory
+                const((bl, t_enc, adim)),                     # pm
+                const((bl, t_enc)),                           # negmask
+            ],
+            out_specs=[
+                row((bl, n_mels + 1)),
+                row((bl, t_enc)),
+                pl.BlockSpec((bl, 1), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((s1, bl, n_mels + 1), f32),
+                jax.ShapeDtypeStruct((s1, bl, t_enc), f32),
+                jax.ShapeDtypeStruct((bl, 1), jnp.int32),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bl, h), f32),        # h_att
+                pltpu.VMEM((bl, h), f32),        # c_att
+                pltpu.VMEM((bl, h), f32),        # h_dec
+                pltpu.VMEM((bl, h), f32),        # c_dec
+                pltpu.VMEM((bl, cfg.encoder_embedding_dim), f32),
+                pltpu.VMEM((bl, t_enc), f32),    # prev
+                pltpu.VMEM((bl, t_enc), f32),    # cum
+                pltpu.VMEM((bl, n_mels), f32),   # fed-back mel
+                pltpu.VMEM((bl, 128), jnp.int32),  # done
+                pltpu.VMEM((bl, 128), jnp.int32),  # item_end
+                pltpu.SMEM((2,), jnp.int32),    # [stop, n_frames]
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_BUDGET),
+            interpret=jax.default_backend() != "tpu",
+        )(fscal_, iscal_, pw1_, pw2_, wia_, wha_, ba_, wid_, whd_, bd_,
+          wq_, wband_, v3_, wh_, bh_, mem_, pm_, nm_)
+        # The kernel's SMEM n_frames is shard-local; the global count is
+        # recovered as max(frame_ends) below (an identity in every mode:
+        # ends are clamped to n_frames in-kernel), so _nf is dropped.
+        return frames, aligns, ends
+
+    # Mesh composition: per-shard gate stops (sound for stop_mode="all",
+    # which megakernel_enabled requires under a mesh — see its docstring).
+    from .meshing import shard_over_batch
+    run = shard_over_batch(_call,
+                           in_batch_dims=(None,) * 15 + (0, 0, 0),
+                           out_batch_dims=(1, 1, 0))
+    frames, aligns, ends = run(
+        fscal, iscal, pw1, pw2,
+        params["attn_lstm"]["wi"].astype(cdt),
+        params["attn_lstm"]["wh"].astype(cdt), b_a,
+        params["dec_lstm"]["wi"].astype(cdt),
+        params["dec_lstm"]["wh"].astype(cdt), b_d,
+        att["query"]["w"].astype(cdt), wband, v3,
+        w_heads, b_heads,
+        memory.astype(cdt), pm, negmask)
+    nf = jnp.max(ends).astype(jnp.int32)
 
     sl = slice(1, None) if drop_first_frame else slice(0, max_steps)
     frames = frames[sl]
     mels = jnp.swapaxes(frames[..., :n_mels], 0, 1)       # (B, S, n_mels)
     gates = jnp.swapaxes(frames[..., n_mels], 0, 1)       # (B, S)
     aligns_out = jnp.swapaxes(aligns[sl], 0, 1)           # (B, S, T_enc)
-    return mels, gates, aligns_out, nf[0], ends[:, 0]
+    return mels, gates, aligns_out, nf, ends[:, 0]

@@ -171,15 +171,61 @@ class TestGating:
             set_kernel_mesh(*prev)
         assert data_axis_size() == 1
 
-    def test_inference_megakernel_blocked_under_mesh(self, eight_devices,
-                                                     monkeypatch):
-        """The inference whole-decode kernel stays single-core: its
-        gate-stop flags couple the global batch per step."""
+    def test_inference_megakernel_mesh_gating(self, eight_devices,
+                                              monkeypatch):
+        """Under a mesh the inference whole-decode kernel engages only
+        with per-item stopping semantics (stop_mode="all"), a data-only
+        mesh, and a dividing batch — per-shard gate stops are sound
+        exactly there (ops/decoder_megakernel.py)."""
         from tacotron2_tpu.ops.decoder_megakernel import megakernel_enabled
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         assert megakernel_enabled(SMALL, b=1, t_enc=64)
         with kernel_mesh(make_mesh(n_data=8, n_model=1)):
-            assert not megakernel_enabled(SMALL, b=1, t_enc=64)
+            assert not megakernel_enabled(SMALL, b=8, t_enc=64)  # "any"
+            assert megakernel_enabled(SMALL, b=8, t_enc=64,
+                                      stop_mode="all")
+            assert not megakernel_enabled(SMALL, b=9, t_enc=64,
+                                          stop_mode="all")  # indivisible
+        with kernel_mesh(make_mesh(n_data=4, n_model=2)):
+            assert not megakernel_enabled(SMALL, b=8, t_enc=64,
+                                          stop_mode="all")  # TP shards W
+
+
+class TestInferMegakernelMesh:
+    """r4: the inference megakernel shard_maps over the data axis with
+    per-shard gate stops (stop_mode="all").  Per-item frames up to each
+    item's frame_end, the frame_ends themselves, and n_frames must match
+    the unsharded kernel; only garbage past an item's end may differ."""
+
+    B, T_ENC, MAX = 16, 12, 14
+
+    def test_sharded_matches_unsharded(self, eight_devices, monkeypatch):
+        monkeypatch.setenv("TACOTRON2_FUSED_ATTENTION", "0")
+        from tacotron2_tpu.models.decoder import decoder_init
+        from tacotron2_tpu.ops.decoder_megakernel import decoder_infer_mega
+        params = decoder_init(jax.random.PRNGKey(0), SMALL)
+        memory = jax.random.normal(
+            jax.random.PRNGKey(7), (self.B, self.T_ENC, 32)) * 0.5
+        lens = 4 + (jnp.arange(self.B) % (self.T_ENC - 4))
+        mask = jnp.arange(self.T_ENC)[None, :] >= lens[:, None]
+        args = dict(mask=mask, stop_mode="all",
+                    forced_stop_at=jnp.int32(9))
+        ref = decoder_infer_mega(params, SMALL, memory, self.MAX, 0.5,
+                                 **args)
+        jax.clear_caches()
+        with kernel_mesh(make_mesh(n_data=8, n_model=1)):
+            got = decoder_infer_mega(params, SMALL, memory, self.MAX, 0.5,
+                                     **args)
+        assert int(ref[3]) == int(got[3])
+        np.testing.assert_array_equal(np.asarray(ref[4]),
+                                      np.asarray(got[4]))
+        ends = np.asarray(ref[4])
+        for r, g in zip(ref[:3], got[:3]):
+            r, g = np.asarray(r), np.asarray(g)
+            for i in range(self.B):
+                e = int(ends[i])
+                err = np.max(np.abs(r[i, :e] - g[i, :e]))
+                assert err < 2e-4, err
 
 
 class TestFullStepDP8WithKernels:

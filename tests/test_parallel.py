@@ -453,3 +453,38 @@ class TestShardedServing:
         # different speaker conditioning must change the audio
         n = min(wavs[0].size, other[0].size)
         assert n == 0 or not np.allclose(wavs[0][:n], other[0][:n])
+
+
+class TestShardedServingFusedTail:
+    """ADVICE r3: pin the exact composition mesh serving traces — the
+    shard_mapped Pallas attention tail INSIDE ``lax.while_loop`` under
+    jit — end-to-end through ShardedSynthesizer, and that close()
+    restores the process-global kernel-mesh registration."""
+
+    def test_fused_tail_in_while_loop_under_mesh(self, eight_devices,
+                                                 monkeypatch):
+        from tacotron2_tpu.infer import ShardedSynthesizer
+        from tacotron2_tpu.infer.fused import synthesize_wav
+        from tacotron2_tpu.models import tacotron2_init
+        from tacotron2_tpu.ops.meshing import data_axis_size
+
+        monkeypatch.setenv("TACOTRON2_FUSED_ATTENTION", "1")
+        jax.clear_caches()
+        try:
+            params, state = tacotron2_init(jax.random.PRNGKey(0),
+                                           SMALL.model)
+            texts = [f"fused tail check {i}." for i in range(8)]
+            mesh = make_mesh(n_data=8, n_model=1)
+            with ShardedSynthesizer(params, state, mesh, SMALL,
+                                    gl_iters=2) as synth:
+                assert data_axis_size() == 8
+                wavs_sharded = synth(texts)
+            assert data_axis_size() == 1      # close() restored the mesh
+            wavs_single = synthesize_wav(params, state, texts, SMALL,
+                                         gl_iters=2)
+            assert len(wavs_sharded) == 8
+            for ws, wu in zip(wavs_sharded, wavs_single):
+                assert ws.shape == wu.shape
+                np.testing.assert_allclose(ws, wu, atol=5e-3)
+        finally:
+            jax.clear_caches()
