@@ -61,6 +61,65 @@ def g2p_coverage(texts: Iterable[str], g2p: G2p | None = None,
     return report
 
 
+def _material_variants(variants: List[Tuple[str, ...]]) -> bool:
+    """Do >= 2 CMUdict variants differ as READINGS — different segments
+    or a moved primary stress — rather than unstressed-schwa jitter?"""
+    def key(phones: Tuple[str, ...]):
+        segs = tuple(p.rstrip("012") for p in phones)
+        primary = tuple(i for i, p in enumerate(phones) if p.endswith("1"))
+        return segs, primary
+
+    seen = set()
+    for v in variants:
+        segs, primary = key(v)
+        # collapse pure schwa-insertion variants to the segment skeleton
+        seen.add((tuple(s for s in segs if s not in ("AH", "IH")), primary))
+    return len(seen) >= 2
+
+
+def heteronym_audit(texts: Iterable[str], top_n: int = 40) -> Dict:
+    """Heteronym coverage over real text (the reference resolves these
+    with g2p_en's POS tagger, reference: src/text.py:35; this framework
+    uses the curated table in homographs.py).
+
+    A running token is COVERED when the table disambiguates it, and a
+    CANDIDATE MISS when CMUdict lists materially different readings for
+    it (different segments or a moved primary stress) that the table
+    does not know.  The miss list is a curation queue, not an error
+    count — many multi-variant CMUdict words are free variation, not
+    POS-driven heteronyms."""
+    from .homographs import HOMOGRAPHS, TENSE_HETERONYMS
+    from .lexicon import find_lexicon_path, parse_cmudict_variants
+
+    variants = parse_cmudict_variants(find_lexicon_path())
+    token_counts: Counter = Counter()
+    for text in texts:
+        token_counts.update(normalize_text(text).split())
+
+    covered = Counter()
+    misses = Counter()
+    for word, count in token_counts.items():
+        if word in HOMOGRAPHS or word in TENSE_HETERONYMS:
+            covered[word] += count
+        elif len(variants.get(word, ())) >= 2 \
+                and _material_variants(variants[word]):
+            misses[word] += count
+
+    total = sum(token_counts.values())
+    n_miss = sum(misses.values())
+    return {
+        "total_tokens": total,
+        "covered_tokens": sum(covered.values()),
+        "covered_words": dict(covered.most_common()),
+        "candidate_miss_tokens": n_miss,
+        "candidate_miss_rate": (n_miss / total) if total else 0.0,
+        "top_candidate_misses": [
+            {"word": w, "count": c,
+             "variants": [" ".join(v) for v in variants[w]]}
+            for w, c in misses.most_common(top_n)],
+    }
+
+
 def format_report(report: Dict) -> str:
     lines = [
         f"tokens: {report['total_tokens']}  "
@@ -90,6 +149,9 @@ def _main() -> None:
                                     ".txt file, one utterance per line)")
     p.add_argument("--column", default="text")
     p.add_argument("--json", action="store_true")
+    p.add_argument("--heteronyms", action="store_true",
+                   help="run the heteronym coverage audit instead of the "
+                        "G2P stage-coverage report")
     args = p.parse_args()
 
     texts: List[str] = []
@@ -101,10 +163,19 @@ def _main() -> None:
             for row in csv.DictReader(f):
                 texts.append(row[args.column])
 
-    report = g2p_coverage(texts)
+    report = (heteronym_audit(texts) if args.heteronyms
+              else g2p_coverage(texts))
     if args.json:
         json.dump(report, sys.stdout, indent=2)
         print()
+    elif args.heteronyms:
+        print(f"tokens: {report['total_tokens']}  covered heteronym "
+              f"tokens: {report['covered_tokens']}  candidate misses: "
+              f"{report['candidate_miss_tokens']} "
+              f"({report['candidate_miss_rate']:.4%})")
+        for e in report["top_candidate_misses"]:
+            print(f"  {e['word']!r} x{e['count']}: "
+                  f"{'; '.join(e['variants'][:3])}")
     else:
         print(format_report(report))
 

@@ -120,6 +120,87 @@ HOMOGRAPHS: Dict[str, Homograph] = {
     "upset":     _h("AH0 P S EH1 T", "AH1 P S EH2 T", default="verb"),
     "console":   _h("K AH0 N S OW1 L", "K AA1 N S OW0 L"),
     "perfect":   _h("P ER0 F EH1 K T", "P ER1 F IH2 K T"),   # adj default
+    # r4 expansion from the heteronym audit (text/analysis.py::
+    # heteronym_audit over the in-repo corpus + documentation prose;
+    # curated from the candidate-miss queue + the standard initial-
+    # stress-noun / final-stress-verb alternation class)
+    "address":   _h("AH0 D R EH1 S", "AE1 D R EH2 S"),
+    "addresses": _h("AH0 D R EH1 S IH0 Z", "AE1 D R EH1 S IH0 Z"),
+    "ally":      _h("AH0 L AY1", "AE1 L AY0"),
+    "annex":     _h("AH0 N EH1 K S", "AE1 N EH2 K S"),
+    "attribute": _h("AH0 T R IH1 B Y UW2 T", "AE1 T R AH0 B Y UW2 T"),
+    "attributes": _h("AH0 T R IH1 B Y UW2 T S", "AE1 T R AH0 B Y UW2 T S"),
+    "combat":    _h("K AH0 M B AE1 T", "K AA1 M B AE0 T"),
+    "compact":   _h("K AH0 M P AE1 K T", "K AA1 M P AE0 K T"),
+    "compound":  _h("K AH0 M P AW1 N D", "K AA1 M P AW0 N D"),
+    "compounds": _h("K AH0 M P AW1 N D Z", "K AA1 M P AW0 N D Z"),
+    "compress":  _h("K AH0 M P R EH1 S", "K AA1 M P R EH0 S",
+                    default="verb"),
+    #   compress default overridden: CMUdict lists the noun first, but
+    #   the verb dominates usage (the noun is the cold-pack sense)
+    "concert":   _h("K AH0 N S ER1 T", "K AA1 N S ER0 T"),
+    "construct": _h("K AH0 N S T R AH1 K T", "K AA1 N S T R AH0 K T",
+                    default="verb"),
+    "contest":   _h("K AH0 N T EH1 S T", "K AA1 N T EH0 S T"),
+    "contests":  _h("K AH0 N T EH1 S T S", "K AA1 N T EH0 S T S"),
+    "defect":    _h("D IH0 F EH1 K T", "D IY1 F EH0 K T"),
+    "defects":   _h("D IH0 F EH1 K T S", "D IY1 F EH0 K T S"),
+    "digest":    _h("D AY0 JH EH1 S T", "D AY1 JH EH0 S T",
+                    default="verb"),
+    "discharge": _h("D IH0 S CH AA1 R JH", "D IH1 S CH AA2 R JH",
+                    default="verb"),
+    "discount":  _h("D IH0 S K AW1 N T", "D IH1 S K AW0 N T"),
+    #   discount/discounts default overridden: CMUdict lists the verb
+    #   first, but the noun dominates usage
+    "discounts": _h("D IH0 S K AW1 N T S", "D IH1 S K AW2 N T S"),
+    "escort":    _h("EH0 S K AO1 R T", "EH1 S K AO0 R T"),
+    #   escort default overridden likewise (noun dominates)
+    "exploit":   _h("EH2 K S P L OY1 T", "EH1 K S P L OY2 T"),
+    "extract":   _h("IH0 K S T R AE1 K T", "EH1 K S T R AE2 K T",
+                    default="verb"),
+    "extracts":  _h("IH0 K S T R AE1 K T S", "EH1 K S T R AE2 K T S",
+                    default="verb"),
+    "impact":    _h("IH0 M P AE1 K T", "IH1 M P AE0 K T"),
+    #   impact/impacts default overridden: noun dominates usage
+    "impacts":   _h("IH0 M P AE1 K T S", "IH1 M P AE0 K T S"),
+    "implant":   _h("IH0 M P L AE1 N T", "IH1 M P L AE2 N T",
+                    default="verb"),
+    "import":    _h("IH0 M P AO1 R T", "IH1 M P AO0 R T", default="verb"),
+    "imports":   _h("IH0 M P AO1 R T S", "IH1 M P AO0 R T S",
+                    default="verb"),
+    "imprint":   _h("IH0 M P R IH1 N T", "IH1 M P R IH0 N T"),
+    "incense":   _h("IH0 N S EH1 N S", "IH1 N S EH2 N S"),
+    #   incense default overridden: noun dominates usage
+    "incline":   _h("IH0 N K L AY1 N", "IH1 N K L AY0 N", default="verb"),
+    "insert":    _h("IH0 N S ER1 T", "IH1 N S ER2 T", default="verb"),
+    "inserts":   _h("IH0 N S ER1 T S", "IH1 N S ER2 T S", default="verb"),
+    "misuse":    _h("M IH0 S Y UW1 Z", "M IH0 S Y UW1 S"),
+    "pervert":   _h("P ER0 V ER1 T", "P ER1 V ER0 T"),
+    "progresses": _h("P R OW0 G R EH1 S AH0 Z", "P R AA1 G R EH2 S AH0 Z",
+                     default="verb"),
+    #   progresses default overridden: the verb ("the work progresses")
+    #   dominates usage
+    "protests":  _h("P R AH0 T EH1 S T S", "P R OW1 T EH2 S T S"),
+    "recall":    _h("R IH0 K AO1 L", "R IY1 K AO2 L", default="verb"),
+    #   recall default overridden: CMUdict lists the noun first, but the
+    #   verb dominates usage
+    "recalls":   _h("R IH0 K AO1 L Z", "R IY1 K AO2 L Z", default="verb"),
+    "refund":    _h("R IH0 F AH1 N D", "R IY1 F AH2 N D"),
+    #   refund/refunds default overridden: noun dominates usage
+    "refunds":   _h("R IH0 F AH1 N D Z", "R IY1 F AH2 N D Z"),
+    "reject":    _h("R IH0 JH EH1 K T", "R IY1 JH EH0 K T",
+                    default="verb"),
+    "rejects":   _h("R IH0 JH EH1 K T S", "R IY1 JH EH0 K T S",
+                    default="verb"),
+    "research":  _h("R IY0 S ER1 CH", "R IY1 S ER0 CH"),
+    #   research default overridden: noun dominates usage
+    "subjects":  _h("S AH0 B JH EH1 K T S", "S AH1 B JH IH0 K T S"),
+    "survey":    _h("S ER0 V EY1", "S ER1 V EY2"),
+    #   survey/surveys default overridden: noun dominates usage
+    "surveys":   _h("S ER0 V EY1 Z", "S ER1 V EY2 Z"),
+    "torment":   _h("T AO0 R M EH1 N T", "T AO1 R M EH2 N T"),
+    "transport": _h("T R AE0 N S P AO1 R T", "T R AE1 N S P AO0 R T",
+                    default="verb"),
     # -ate words: verb /EY2 T/, noun-adjective /AH0 T/ (or /IH0 T/)
     "separate":  _h("S EH1 P ER0 EY2 T", "S EH1 P ER0 IH0 T"),  # adj default
     "estimate":  _h("EH1 S T AH0 M EY2 T", "EH1 S T AH0 M AH0 T"),
