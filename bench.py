@@ -201,6 +201,41 @@ def main():
                 f"vocodes the full {max_steps}-frame static buffer, so "
                 f"short utterances pay a fixed GL tail)")
             secondary["rtf_batch1_trained_gate_stop"] = round(rtf_t, 6)
+            secondary["trained_gate_stop_frames"] = n_t
+
+            # Same trained gate stop through the length-proportional
+            # one-dispatch path — the REAL end-product latency: natural
+            # gate, bucket picked from the text, bucket-sized vocode +
+            # int16 PCM fetch.
+            from tacotron2_tpu.infer.fused import \
+                synthesize_pcm_proportional
+
+            def trained_oneshot(text):
+                tokens, lengths = texts_to_batch([text], pad_to=96)
+                pcm, ends, bucket = synthesize_pcm_proportional(
+                    tparams, tstate0, cfg.model, acfg,
+                    jnp.asarray(tokens), jnp.asarray(lengths), None,
+                    max_steps=max_steps)
+                return int(ends[0]), bucket
+
+            n_tp, bkt_tp = trained_oneshot(
+                "Warm the proportional program too.")  # compile
+            wall_tp, walls_tp = min_wall(lambda: trained_oneshot(
+                "The quick brown fox jumps over the lazy dog near the "
+                "river bank."), iters=5)
+            audio_tp = max(n_tp, 1) * acfg.hop_length / acfg.sampling_rate
+            n_tp2, bkt_tp2 = trained_oneshot(
+                "The quick brown fox jumps over the lazy dog near the "
+                "river bank.")
+            audio_tp2 = max(n_tp2, 1) * acfg.hop_length / acfg.sampling_rate
+            rtf_tp = wall_tp / audio_tp2
+            log(f"trained ckpt PROPORTIONAL: gate stopped at {n_tp2} "
+                f"frames in the {bkt_tp2}-frame bucket, wall {wall_tp:.4f}s "
+                f"(median {np.median(walls_tp):.4f}) -> RTF {rtf_tp:.5f}")
+            secondary["rtf_batch1_trained_gate_stop_oneshot"] = round(
+                rtf_tp, 6)
+            secondary["rtf_batch1_trained_gate_stop_oneshot_median"] = round(
+                float(np.median(walls_tp)) / audio_tp2, 6)
         except Exception as e:
             log(f"trained-checkpoint bench skipped: {e}")
 

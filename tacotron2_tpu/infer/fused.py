@@ -326,7 +326,10 @@ def _synthesize_pcm_bucket(params, model_state, hifigan_params,
                           hop_length=acfg.hop_length,
                           win_length=acfg.win_length, n_iter=gl_iters,
                           length=bucket * acfg.hop_length)
-    return _to_pcm16(wav), frame_ends
+    # The mel rides along device-resident; callers that want it (the CLI's
+    # mel-stats diagnostic) fetch it in the same async round — unfetched
+    # outputs cost nothing but their HBM.
+    return _to_pcm16(wav), frame_ends, mel
 
 
 def synthesize_pcm_proportional(params, model_state, mcfg: ModelConfig,
@@ -341,8 +344,8 @@ def synthesize_pcm_proportional(params, model_state, mcfg: ModelConfig,
                                 forced_stop_at: Optional[jnp.ndarray] = None,
                                 buckets: Tuple[int, ...] = VOCODE_BUCKETS,
                                 frames_per_token: float = FRAMES_PER_TOKEN,
-                                frames_margin: int = FRAMES_MARGIN
-                                ) -> Tuple[np.ndarray, np.ndarray, int]:
+                                frames_margin: int = FRAMES_MARGIN,
+                                return_mel: bool = False):
     """tokens (B, T_enc) -> (pcm16 (B, bucket*hop) int16 np, frame_ends np,
     bucket) — the LENGTH-PROPORTIONAL one-dispatch synthesis path.
 
@@ -352,7 +355,12 @@ def synthesize_pcm_proportional(params, model_state, mcfg: ModelConfig,
     copies (one tunnel round trip).  If the gate never fired inside the
     bucket, escalates once to the full ``max_steps`` program.  Sample
     b's audio is valid up to ``frame_ends[b] * hop_length`` samples;
-    divide by 32767 for float."""
+    divide by 32767 for float.
+
+    ``return_mel=True`` appends the (B, bucket, n_mels) post-gate-masked
+    postnet mel as a fourth element, fetched in the SAME async round
+    (for diagnostics — the reference prints mel stats before vocoding,
+    reference: inference.py:98-111)."""
     limit = mcfg.max_decoder_steps if max_steps is None else max_steps
     if expected_frames is None:
         if text_lengths is not None:
@@ -363,18 +371,22 @@ def synthesize_pcm_proportional(params, model_state, mcfg: ModelConfig,
                                           frames_margin)
     bucket = pick_bucket(expected_frames, limit, buckets)
     while True:
-        pcm, ends = _synthesize_pcm_bucket(
+        pcm, ends, mel = _synthesize_pcm_bucket(
             params, model_state, hifigan_params, mcfg, acfg, tokens,
             text_lengths, speaker_ids, bucket=bucket,
             gate_threshold=gate_threshold, stop_mode=stop_mode,
             gl_iters=gl_iters, use_hifigan=hifigan_params is not None,
             forced_stop_at=forced_stop_at)
-        # Batched async copies -> ONE round trip for both outputs.
+        # Batched async copies -> ONE round trip for all fetched outputs.
         pcm.copy_to_host_async()
         ends.copy_to_host_async()
+        if return_mel:
+            mel.copy_to_host_async()
         pcm_np = np.asarray(pcm)
         ends_np = np.asarray(ends)
         if bucket >= limit or int(ends_np.max()) < bucket:
+            if return_mel:
+                return pcm_np, ends_np, bucket, np.asarray(mel)
             return pcm_np, ends_np, bucket
         # Gate still open at the bucket cap: the prediction was short.
         # One escalation to the full-length program settles it (a gate

@@ -116,39 +116,35 @@ def synthesize(text: str, checkpoint_path: str, output_dir: str,
     params, model_state = load_model(checkpoint_path, cfg)
     print("Tacotron 2 model loaded.")
 
-    from .vocode import try_load_hifigan_params, vocode_mel
+    from .vocode import try_load_hifigan_params
     hifigan_params = (try_load_hifigan_params()
                       if vocoder.lower() == "hifigan" else None)
 
-    if hifigan_params is not None:
-        # Fused fast path: encoder + decode + postnet + HiFi-GAN as ONE
-        # XLA program (the reference's primary vocoder pipeline,
-        # inference.py:40-54,71-74, minus its two-model host round-trip).
-        from .fused import synthesize_wav_fused_hifigan
-        print("Processing input text + generating waveform (fused "
-              "Tacotron 2 + HiFi-GAN program)...")
-        tokens, lengths = pad_sequences([text_to_sequence(text) or [0]],
-                                        pad_multiple=16)
-        speaker_ids = make_speaker_ids(speaker_id, 1, cfg.model)
-        wav, mel, _, ends = synthesize_wav_fused_hifigan(
-            params, model_state, hifigan_params, cfg.model, cfg.audio,
-            jnp.asarray(tokens), jnp.asarray(lengths), speaker_ids)
-        n0 = int(np.asarray(ends)[0])
-        if n0 < 3:
-            print(f"[WARN] Very short mel length ({n0}) - possible "
-                  f"premature stop. Gate threshold="
-                  f"{cfg.model.gate_threshold}")
-        print_mel_stats(np.asarray(mel)[0, :n0], "Pred PostNet Mel")
-        audio = np.asarray(wav)[0, : n0 * cfg.audio.hop_length]
-    else:
-        print("Using Griffin-Lim vocoder.")
-        print("Processing input text + generating mel spectrogram...")
-        mels, _ = synthesize_mels(params, model_state, [text], cfg,
-                                  speaker_id=speaker_id)
-        mel = mels[0]                               # (T, n_mels)
-        print_mel_stats(mel, "Pred PostNet Mel")
-        audio = vocode_mel(mel, cfg.audio,
-                           griffinlim_iters=griffinlim_iters)
+    # Length-proportional one-dispatch path (both vocoders): the mel
+    # bucket is picked from the text length before dispatch, the whole
+    # encoder + decode + postnet + vocoder pipeline runs as ONE bucket-
+    # sized XLA program, and int16 PCM + frame_ends + the diagnostic mel
+    # come back in one batched-async round trip (infer/fused.py) — the
+    # reference's cost-proportional loop (src/model.py:318-333) plus its
+    # two-model vocoder round-trip (inference.py:40-54), in one dispatch.
+    from .fused import synthesize_pcm_proportional
+    print("Processing input text + generating waveform "
+          f"({'HiFi-GAN' if hifigan_params is not None else 'Griffin-Lim'} "
+          "fused length-proportional program)...")
+    tokens, lengths = pad_sequences([text_to_sequence(text) or [0]],
+                                    pad_multiple=16)
+    speaker_ids = make_speaker_ids(speaker_id, 1, cfg.model)
+    pcm, ends, bucket, mel = synthesize_pcm_proportional(
+        params, model_state, cfg.model, cfg.audio, jnp.asarray(tokens),
+        jnp.asarray(lengths), speaker_ids, gl_iters=griffinlim_iters,
+        hifigan_params=hifigan_params, return_mel=True)
+    n0 = int(ends[0])
+    if n0 < 3:
+        print(f"[WARN] Very short mel length ({n0}) - possible "
+              f"premature stop. Gate threshold="
+              f"{cfg.model.gate_threshold}")
+    print_mel_stats(mel[0, :max(n0, 1)], "Pred PostNet Mel")
+    audio = pcm[0, : n0 * cfg.audio.hop_length].astype(np.float32) / 32767.0
 
     out_path = next_output_path(output_dir)
     save_wav(out_path, np.asarray(audio), cfg.audio.sampling_rate)

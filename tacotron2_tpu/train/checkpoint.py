@@ -67,11 +67,20 @@ def save_params_only(path: str, params, model_state) -> None:
 
 
 def restore_params_only(path: str, params_template, state_template):
+    """Restore a params-only checkpoint, casting each leaf to the
+    template's dtype — so compact bf16 exports (tools/export_checkpoint.py
+    halves the artifact for committing trained-model evidence) load
+    straight into the fp32 inference templates."""
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path, {"params": params_template,
-                                        "model_state": state_template})
-    return restored["params"], restored["model_state"]
+        restored = ckptr.restore(path)     # as saved (any dtype)
+    import jax
+    cast = lambda a, t: np.asarray(a).astype(np.asarray(t).dtype)
+    params = jax.tree_util.tree_map(
+        cast, restored["params"], params_template)
+    model_state = jax.tree_util.tree_map(
+        cast, restored["model_state"], state_template)
+    return params, model_state
 
 
 def checkpoint_kind(path: str) -> str:

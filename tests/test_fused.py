@@ -175,7 +175,7 @@ class TestLengthProportional:
         assert pcm.dtype == np.int16
         assert pcm.shape == (1, bucket * 256)
         assert int(ends[0]) == 10
-        pcm_full, ends_full = _synthesize_pcm_bucket(
+        pcm_full, ends_full, _ = _synthesize_pcm_bucket(
             params, state, hp, SMALL.model, SMALL.audio, tokens, lengths,
             None, bucket=32, gate_threshold=None, stop_mode="any",
             gl_iters=4, use_hifigan=True, forced_stop_at=jnp.int32(10))
@@ -233,7 +233,7 @@ class TestLengthProportional:
             params, state, SMALL.model, tokens, lengths, None,
             max_steps=24, forced_stop_at=jnp.int32(10))
         pcm2 = vocode_bucket_hifigan_pcm16(hp, mel, ends, SMALL.audio, 16)
-        pcm1, ends1 = _synthesize_pcm_bucket(
+        pcm1, ends1, _ = _synthesize_pcm_bucket(
             params, state, hp, SMALL.model, SMALL.audio, tokens, lengths,
             None, bucket=16, gate_threshold=None, stop_mode="any",
             gl_iters=4, use_hifigan=True, forced_stop_at=jnp.int32(10))
