@@ -165,6 +165,11 @@ class TrainConfig:
     postnet_freeze_steps: int = 3000
     max_grad_norm: float = 1.0
     save_every_steps: int = 5000
+    # Per-epoch checkpoint retention: keep the newest N epoch
+    # checkpoints (best_model / step_* are never pruned).  0 keeps all —
+    # the reference's behavior (train.py:537-582), which at ~300 MB per
+    # full TrainState fills a disk in a few hundred epochs.
+    keep_epoch_ckpts: int = 5
     accumulation_steps: int = 1
     # Mixed-precision training policy — the TPU counterpart of the
     # reference's CUDA AMP autocast+GradScaler (reference:

@@ -154,7 +154,8 @@ def train(metadata_path: str, checkpoint_dir: str, *,
           accum_steps: int = 1,
           precision: Optional[str] = None,
           remat: Optional[str] = None,
-          tensor_parallel: int = 1) -> TrainState:
+          tensor_parallel: int = 1,
+          keep_epoch_ckpts: Optional[int] = None) -> TrainState:
     """Main training routine (CLI contract of reference train.py:287-298).
 
     ``remat``: None keeps the config; "off" disables decoder-step
@@ -213,6 +214,8 @@ def train(metadata_path: str, checkpoint_dir: str, *,
 
     dataset = TextMelDataset(metadata_path)
     tcfg = cfg.train
+    if keep_epoch_ckpts is not None:
+        tcfg = dataclasses.replace(tcfg, keep_epoch_ckpts=keep_epoch_ckpts)
 
     # Multi-speaker corpora (metadata carries speaker_id, e.g. LibriSpeech)
     # automatically size the speaker embedding table.
@@ -391,8 +394,9 @@ def train(metadata_path: str, checkpoint_dir: str, *,
                     + f" | {perf['steps_per_sec']:.2f} it/s "
                     f"{perf.get('mel_frames_per_sec', 0):.0f} frames/s")
             if tcfg.save_every_steps and gstep % tcfg.save_every_steps == 0:
-                save_checkpoint(os.path.join(checkpoint_dir, f"step_{gstep}"),
-                                state, epoch, best_val_mel)
+                _save_best_effort(
+                    os.path.join(checkpoint_dir, f"step_{gstep}"),
+                    state, epoch, best_val_mel, logger)
 
         avg = (float(np.mean([float(x) for x in loss_totals]))
                if loss_totals else 0.0)
@@ -413,19 +417,61 @@ def train(metadata_path: str, checkpoint_dir: str, *,
                        f"AttnEntropy {metrics['entropy']:.3f}")
             if metrics["mel"] < best_val_mel:
                 best_val_mel = metrics["mel"]
-                save_checkpoint(os.path.join(checkpoint_dir, "best_model"),
-                                state, epoch, best_val_mel)
-                logger.log(f"Saved best checkpoint (val mel {best_val_mel:.4f})")
+                if _save_best_effort(
+                        os.path.join(checkpoint_dir, "best_model"),
+                        state, epoch, best_val_mel, logger):
+                    logger.log(f"Saved best checkpoint "
+                               f"(val mel {best_val_mel:.4f})")
 
-        save_checkpoint(
+        _save_best_effort(
             os.path.join(checkpoint_dir, f"tacotron2_epoch_{epoch + 1}"),
-            state, epoch, best_val_mel)
+            state, epoch, best_val_mel, logger)
+        _prune_epoch_ckpts(checkpoint_dir, tcfg.keep_epoch_ckpts, logger)
         if alignments is not None and is_lead:
             save_alignment_plot(
                 _host_local(alignments),
                 os.path.join(checkpoint_dir, f"alignment_epoch_{epoch + 1}.png"))
     print("\nTraining complete.")
     return state
+
+
+def _save_best_effort(path: str, state: TrainState, epoch: int,
+                      best_val_mel: float, logger) -> bool:
+    """Save a cadence checkpoint, surviving IO failure (ENOSPC, quota):
+    a failed periodic save must not kill a multi-hour training run —
+    the r4 1000-epoch run died exactly this way (disk full of per-epoch
+    checkpoints) with the model state healthy in memory."""
+    try:
+        save_checkpoint(path, state, epoch, best_val_mel)
+        return True
+    except Exception as e:
+        logger.log(f"[WARN] checkpoint save failed for {path}: "
+                   f"{type(e).__name__}: {e} — training continues")
+        # Orbax leaves a *.orbax-checkpoint-tmp dir behind on failure;
+        # remove it so retries (and disk space) recover.
+        import shutil
+        for leftover in (path, path + ".orbax-checkpoint-tmp"):
+            if os.path.isdir(leftover) and leftover.endswith(
+                    ".orbax-checkpoint-tmp"):
+                shutil.rmtree(leftover, ignore_errors=True)
+        return False
+
+
+def _prune_epoch_ckpts(checkpoint_dir: str, keep: int, logger) -> None:
+    """Keep only the newest ``keep`` tacotron2_epoch_* checkpoints
+    (0 = keep all, the reference's unbounded cadence)."""
+    if not keep or keep <= 0:
+        return
+    import re
+    import shutil
+    epochs = []
+    for name in os.listdir(checkpoint_dir):
+        m = re.fullmatch(r"tacotron2_epoch_(\d+)", name)
+        if m:
+            epochs.append((int(m.group(1)), name))
+    for _, name in sorted(epochs)[:-keep]:
+        shutil.rmtree(os.path.join(checkpoint_dir, name),
+                      ignore_errors=True)
 
 
 def _resume(resume: str, template: TrainState):

@@ -31,9 +31,19 @@ def main():
     args = ap.parse_args()
 
     import dataclasses
+    import os
+
+    import ml_dtypes
+    import numpy as np
 
     import jax
-    import jax.numpy as jnp
+
+    # The axon sitecustomize forces jax_platforms at import time; honor
+    # the caller's env (JAX_PLATFORMS=cpu exports without touching the
+    # TPU — the artifact is host numpy either way).
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        jax.config.update("jax_platforms", env_platforms)
 
     from tacotron2_tpu.config import Config
     from tacotron2_tpu.infer import load_model
@@ -44,13 +54,18 @@ def main():
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, n_speakers=args.n_speakers))
     params, model_state = load_model(args.checkpoint, cfg)
-    dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    dt = (ml_dtypes.bfloat16 if args.dtype == "bfloat16"
+          else np.float32)
 
     def cast(x):
-        x = jnp.asarray(x)
-        return x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x
+        # HOST numpy leaves: the artifact carries no device shardings, so
+        # it restores on any backend (CPU tests, TPU serving)
+        x = np.asarray(x)
+        return x.astype(dt) if np.issubdtype(x.dtype, np.floating) else x
 
     params = jax.tree_util.tree_map(cast, params)
+    model_state = jax.tree_util.tree_map(lambda x: np.asarray(x),
+                                         model_state)
     # BN running stats stay fp32 (they are statistics, not weights, and
     # cost ~nothing)
     save_params_only(args.out, params, model_state)

@@ -42,6 +42,10 @@ if __name__ == "__main__":
                              "step, 'dots' keeps matmul outputs and "
                              "recomputes elementwise ops. Use when large "
                              "--batch_size overflows HBM (default: config).")
+    parser.add_argument("--keep_epoch_ckpts", type=int, default=None,
+                        help="Keep only the newest N per-epoch checkpoints "
+                             "(default 5; 0 keeps all, like the reference "
+                             "- ~300 MB each).")
     parser.add_argument("--tp", type=int, default=1,
                         help="Tensor-parallel width: shard the decoder's "
                              "wide matmuls over a 'model' mesh axis of "
@@ -57,4 +61,5 @@ if __name__ == "__main__":
           val_metadata=args.val_metadata, resume=args.resume,
           postnet_freeze_steps_override=args.postnet_freeze_steps,
           accum_steps=args.accum_steps, precision=args.precision,
-          remat=args.remat, tensor_parallel=args.tp)
+          remat=args.remat, tensor_parallel=args.tp,
+          keep_epoch_ckpts=args.keep_epoch_ckpts)
