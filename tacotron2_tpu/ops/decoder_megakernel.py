@@ -70,6 +70,7 @@ _VMEM_BUDGET = 100 * 1024 * 1024   # leave headroom under the 128 MiB VMEM
 def _vmem_estimate(cfg: ModelConfig, b: int, t_enc: int,
                    bytes_per_weight: int) -> int:
     """Rough resident-VMEM footprint of the megakernel (bytes)."""
+    t_enc = -(-t_enc // 128) * 128      # kernel lane-pads the encoder axis
     h = cfg.decoder_rnn_dim
     adim = cfg.attention_dim
     in_dims = (cfg.prenet_dim + cfg.encoder_embedding_dim + h
@@ -294,7 +295,7 @@ def decoder_infer_mega(params: Dict[str, Any], cfg: ModelConfig,
                                   jnp.ndarray, jnp.ndarray]:
     """Drop-in replacement for `decoder_infer` (same signature/returns),
     running the whole autoregressive decode as one Pallas program."""
-    b, t_enc, _ = memory.shape
+    b, t_enc_in, _ = memory.shape
     h = cfg.decoder_rnn_dim
     n_mels = cfg.n_mels
     adim = cfg.attention_dim
@@ -302,6 +303,19 @@ def decoder_infer_mega(params: Dict[str, Any], cfg: ModelConfig,
     att = params["attention"]
     cdt = params["attn_lstm"]["wi"].dtype
     f32 = jnp.float32
+
+    # Lane-align the encoder axis: the banded middle reduces over T_enc
+    # on the LANE axis (softmax sum, context contraction), and Mosaic
+    # rejects lane reductions at unaligned widths ("offset change") —
+    # callers like the quality harness decode with EXACT text lengths
+    # (22 tokens).  Pad to the 128-lane tile; padding is attention-masked
+    # (-1e9 energies), so outputs are exact and alignments slice back.
+    t_enc = -(-t_enc_in // 128) * 128
+    if t_enc != t_enc_in:
+        memory = jnp.pad(memory, [(0, 0), (0, t_enc - t_enc_in), (0, 0)])
+        pad_mask = jnp.ones((b, t_enc), bool).at[:, :t_enc_in].set(False)
+        mask = (pad_mask if mask is None
+                else pad_mask.at[:, :t_enc_in].set(mask))
 
     from ..models.attention import precompute_memory
     pm = precompute_memory(att, memory).astype(f32)       # (B, T, adim)
@@ -426,4 +440,6 @@ def decoder_infer_mega(params: Dict[str, Any], cfg: ModelConfig,
     mels = jnp.swapaxes(frames[..., :n_mels], 0, 1)       # (B, S, n_mels)
     gates = jnp.swapaxes(frames[..., n_mels], 0, 1)       # (B, S)
     aligns_out = jnp.swapaxes(aligns[sl], 0, 1)           # (B, S, T_enc)
+    if t_enc != t_enc_in:
+        aligns_out = aligns_out[..., :t_enc_in]
     return mels, gates, aligns_out, nf, ends[:, 0]
