@@ -304,12 +304,33 @@ def decoder_infer_mega(params: Dict[str, Any], cfg: ModelConfig,
     cdt = params["attn_lstm"]["wi"].dtype
     f32 = jnp.float32
 
-    # Lane-align the encoder axis: the banded middle reduces over T_enc
-    # on the LANE axis (softmax sum, context contraction), and Mosaic
-    # rejects lane reductions at unaligned widths ("offset change") —
-    # callers like the quality harness decode with EXACT text lengths
-    # (22 tokens).  Pad to the 128-lane tile; padding is attention-masked
-    # (-1e9 energies), so outputs are exact and alignments slice back.
+    # Tile-align the batched middle's layouts — Mosaic rejects lane
+    # reductions at unaligned widths and on single-row vectors ("Not
+    # implemented: Offset change"):
+    #   * LANE axis (T_enc): softmax sum / context contraction reduce
+    #     over it, and callers like the quality harness decode with
+    #     EXACT text lengths (22 tokens).  Pad to the 128-lane tile;
+    #     padding is attention-masked (-1e9), outputs exact, alignments
+    #     slice back.
+    #   * SUBLANE axis (B): batch-1 latency decode puts ONE row in every
+    #     (B, T) vector.  Pad to the 8-sublane tile by REPEATING row 0 —
+    #     copies decode identically, so "any"/"all" stop bookkeeping is
+    #     unchanged — and slice every output back.  (r3's column-major
+    #     per-item kernel dodged this; the batched formulation pays one
+    #     tile of redundant rows instead of the per-item unroll.)
+    b_in = b
+    from .meshing import data_axis_size
+    n_ax = data_axis_size()
+    # per-SHARD rows must hit the 8-sublane tile too
+    unit = 8 * n_ax if (n_ax > 1 and b % n_ax == 0) else 8
+    b = max(unit, -(-b // unit) * unit)
+    if b != b_in:
+        reps = jnp.concatenate(
+            [memory] + [memory[:1]] * (b - b_in), axis=0)
+        memory = reps
+        if mask is not None:
+            mask = jnp.concatenate(
+                [mask] + [mask[:1]] * (b - b_in), axis=0)
     t_enc = -(-t_enc_in // 128) * 128
     if t_enc != t_enc_in:
         memory = jnp.pad(memory, [(0, 0), (0, t_enc - t_enc_in), (0, 0)])
@@ -433,13 +454,14 @@ def decoder_infer_mega(params: Dict[str, Any], cfg: ModelConfig,
         att["query"]["w"].astype(cdt), wband, v3,
         w_heads, b_heads,
         memory.astype(cdt), pm, negmask)
+    ends = ends[:b_in]
     nf = jnp.max(ends).astype(jnp.int32)
 
     sl = slice(1, None) if drop_first_frame else slice(0, max_steps)
-    frames = frames[sl]
+    frames = frames[sl, :b_in]
     mels = jnp.swapaxes(frames[..., :n_mels], 0, 1)       # (B, S, n_mels)
     gates = jnp.swapaxes(frames[..., n_mels], 0, 1)       # (B, S)
-    aligns_out = jnp.swapaxes(aligns[sl], 0, 1)           # (B, S, T_enc)
+    aligns_out = jnp.swapaxes(aligns[sl, :b_in], 0, 1)    # (B, S, T_enc)
     if t_enc != t_enc_in:
         aligns_out = aligns_out[..., :t_enc_in]
     return mels, gates, aligns_out, nf, ends[:, 0]

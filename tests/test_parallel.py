@@ -12,7 +12,21 @@ import jax
 import jax.numpy as jnp
 
 from tacotron2_tpu.config import Config, ModelConfig
-from tacotron2_tpu.parallel import (make_mesh, shard_batch,
+
+
+@pytest.fixture(autouse=True)
+def _clean_kernel_mesh():
+    """Each test starts (and leaves) with no kernel-mesh registration:
+    ShardedSynthesizer registers process-global trace-time state, and a
+    test that doesn't close() its synthesizer must not leak the mesh
+    into later tests' jit traces."""
+    from tacotron2_tpu.ops.meshing import set_kernel_mesh
+    set_kernel_mesh(None)
+    yield
+    set_kernel_mesh(None)
+
+
+from tacotron2_tpu.parallel import (make_mesh, shard_batch,  # noqa: E402
                                     shard_train_state)
 from tacotron2_tpu.train import create_train_state, make_optimizer, train_step
 
