@@ -72,9 +72,18 @@ def restore_params_only(path: str, params_template, state_template):
     halves the artifact for committing trained-model evidence) load
     straight into the fp32 inference templates."""
     path = os.path.abspath(path)
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path)     # as saved (any dtype)
     import jax
+    with ocp.StandardCheckpointer() as ckptr:
+        # Restore to HOST numpy arrays at the saved shapes/dtypes (from the
+        # checkpoint's own metadata).  A bare restore(path) would replay the
+        # sharding metadata recorded at save time, which names the *saving*
+        # backend's devices — a checkpoint written on CPU would then refuse
+        # to load on TPU ("Device TFRT_CPU_0 was not found").  Numpy targets
+        # are backend-independent; the caller casts/places afterwards.
+        saved = ckptr.metadata(path).item_metadata
+        target = jax.tree_util.tree_map(
+            lambda m: np.zeros(m.shape, m.dtype), saved)
+        restored = ckptr.restore(path, target)  # as saved (any dtype)
     cast = lambda a, t: np.asarray(a).astype(np.asarray(t).dtype)
     params = jax.tree_util.tree_map(
         cast, restored["params"], params_template)

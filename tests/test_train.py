@@ -315,6 +315,28 @@ class TestCheckpoint:
         _, _, fullstate, epoch, best = load_any_checkpoint(full, template)
         assert fullstate is not None and epoch == 1
 
+    def test_params_only_restore_is_backend_independent(self, tmp_path):
+        """restore_params_only must NOT replay the sharding metadata
+        recorded at save time — a checkpoint written on one backend (CPU
+        debug train) must load on another (TPU inference).  The property
+        that guarantees this: restore targets come from the checkpoint's
+        own shape/dtype metadata and land as HOST numpy arrays, never as
+        device arrays placed by saved device names."""
+        from tacotron2_tpu.train.checkpoint import (restore_params_only,
+                                                    save_params_only)
+        state = create_train_state(SMALL, seed=0)
+        ponly = str(tmp_path / "ponly")
+        save_params_only(ponly, state.params, state.model_state)
+
+        params, model_state = restore_params_only(
+            ponly, state.params, state.model_state)
+        for leaf in (jax.tree_util.tree_leaves(params)
+                     + jax.tree_util.tree_leaves(model_state)):
+            assert isinstance(leaf, np.ndarray), type(leaf)
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(params)):
+            np.testing.assert_array_equal(np.asarray(a), b)
+
     def test_unloadable_checkpoint_raises_descriptive_error(self, tmp_path):
         from tacotron2_tpu.train.checkpoint import load_any_checkpoint
         bad = tmp_path / "bad"
