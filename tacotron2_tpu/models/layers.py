@@ -20,6 +20,7 @@ for LSTM input kernels); converters from torch checkpoints transpose.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Tuple
 
 import jax
@@ -78,32 +79,98 @@ def conv1d_init(key, in_ch: int, out_ch: int, kernel_size: int,
     return p
 
 
-def conv1d_apply(p: Params, x: jnp.ndarray, padding: str | int = "same"
-                 ) -> jnp.ndarray:
-    """x: (B, C_in, T) -> (B, C_out, T')  ('same' keeps T for odd kernels)."""
-    k = p["w"].shape[-1]
-    if padding == "same":
-        pad = [( (k - 1) // 2, k // 2 )]
-    else:
-        pad = [(padding, padding)]
-    if x.dtype != p["w"].dtype:  # bf16 policies cast activations down
-        x = x.astype(p["w"].dtype)
-    if p["w"].dtype == jnp.float32:
-        y = jax.lax.conv_general_dilated(
-            x, p["w"], window_strides=(1,), padding=pad,
+def _mxu_convgrad_enabled() -> bool:
+    """Kill-switch for the custom conv backward (default on)."""
+    import os
+    return os.environ.get("TACOTRON2_MXU_CONVGRAD", "1") != "0"
+
+
+def _conv1d_raw(x: jnp.ndarray, w: jnp.ndarray,
+                pads: Tuple[int, int]) -> jnp.ndarray:
+    """(B, C_in, T), (C_out, C_in, K) -> (B, C_out, T') fp32, no bias."""
+    if w.dtype == jnp.float32:
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1,), padding=[pads],
             dimension_numbers=("NCH", "OIH", "NCH"),
             preferred_element_type=jnp.float32)
+    # Low-precision weights: run the conv natively in that dtype (the
+    # TPU convolution still accumulates fp32 on the MXU internally) and
+    # upcast the result.  Mixing dtypes via preferred_element_type is
+    # not transposable — grad-of-conv would see (bf16 lhs, fp32 rhs),
+    # which lax.conv_general_dilated rejects.
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[pads],
+        dimension_numbers=("NCH", "OIH", "NCH")).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv1d_mxu(x, w, pads):
+    """Conv1d whose backward is hand-written for the TPU MXU.
+
+    XLA's transpose of ``conv_general_dilated`` lowers the weight
+    gradient on TPU as a multiply+reduce VPU fusion — measured ~2.4 ms
+    per 512x512xk5 postnet layer at B=128/T=512 against a ~0.9 ms MXU
+    roofline (xplane, BASELINE.md r4).  Here d_w is K time-shifted
+    ``(B*T, C_out) x (B*T, C_in)`` contractions (pure MXU work) and d_x
+    is the standard tap-reversed, channel-transposed convolution.
+    """
+    return _conv1d_raw(x, w, pads)
+
+
+def _conv1d_mxu_fwd(x, w, pads):
+    return _conv1d_raw(x, w, pads), (x, w)
+
+
+def _conv1d_mxu_bwd(pads, res, g):
+    x, w = res
+    lo, hi = pads
+    k = w.shape[-1]
+    t_out = g.shape[-1]
+    gc = g.astype(w.dtype)
+    xp = jnp.pad(x, [(0, 0), (0, 0), (lo, hi)])
+    # d_w[o, i, kk] = sum_{b,t} g[b, o, t] * x_pad[b, i, t + kk]
+    d_w = jnp.stack(
+        [jnp.einsum("bot,bit->oi", gc, xp[:, :, kk:kk + t_out],
+                    preferred_element_type=jnp.float32)
+         for kk in range(k)], axis=-1).astype(w.dtype)
+    # d_x: convolve g with the channel-transposed, tap-reversed kernel;
+    # pads (K-1-lo, K-1-hi) make the output land exactly on x's extent.
+    wt = jnp.swapaxes(w, 0, 1)[:, :, ::-1]
+    d_x = _conv1d_raw(gc, wt, (k - 1 - lo, k - 1 - hi)).astype(x.dtype)
+    return d_x, d_w
+
+
+_conv1d_mxu.defvjp(_conv1d_mxu_fwd, _conv1d_mxu_bwd)
+
+
+def conv1d_apply(p: Params, x: jnp.ndarray, padding: str | int = "same",
+                 out_dtype=None) -> jnp.ndarray:
+    """x: (B, C_in, T) -> (B, C_out, T')  ('same' keeps T for odd kernels).
+
+    ``out_dtype`` overrides the fp32 result dtype (bf16 activation
+    policies pass the compute dtype so downstream elementwise traffic —
+    and its backward — runs at half bandwidth).
+    """
+    w = p["w"]
+    k = w.shape[-1]
+    if padding == "same":
+        pads = ((k - 1) // 2, k // 2)
     else:
-        # Low-precision weights: run the conv natively in that dtype (the
-        # TPU convolution still accumulates fp32 on the MXU internally) and
-        # upcast the result.  Mixing dtypes via preferred_element_type is
-        # not transposable — grad-of-conv would see (bf16 lhs, fp32 rhs),
-        # which lax.conv_general_dilated rejects.
-        y = jax.lax.conv_general_dilated(
-            x, p["w"], window_strides=(1,), padding=pad,
-            dimension_numbers=("NCH", "OIH", "NCH")).astype(jnp.float32)
+        pads = (int(padding), int(padding))
+    if x.dtype != w.dtype:  # bf16 policies cast activations down
+        x = x.astype(w.dtype)
+    # The hand-written backward pays K einsum dispatches — a win for the
+    # wide encoder/postnet stacks (512ch, K=5), a loss for tiny per-step
+    # convs like the K=31 2->32 location conv inside the decode scan.
+    if (_mxu_convgrad_enabled() and k <= 7
+            and w.shape[0] * w.shape[1] >= 4096):
+        y = _conv1d_mxu(x, w, pads)
+    else:
+        y = _conv1d_raw(x, w, pads)
     if "b" in p:
         y = y + p["b"][None, :, None].astype(jnp.float32)
+    if out_dtype is not None and y.dtype != out_dtype:
+        y = y.astype(out_dtype)
     return y
 
 
@@ -127,8 +194,16 @@ def batchnorm_apply(p: Params, state: Params, x: jnp.ndarray, train: bool,
     unbiased var in the running estimate).
     """
     if train:
-        mean = jnp.mean(x, axis=(0, 2))
-        var = jnp.mean((x - mean[None, :, None]) ** 2, axis=(0, 2))
+        # One-pass moments: E[x] and E[x^2] reduce in a single fused read
+        # of x (the two-pass form chains var's reduce behind mean's,
+        # costing a second full pass over a (B, 512, T) activation — a
+        # pure-bandwidth tensor at B=128).  Accumulation is fp32 even for
+        # bf16 activations; cancellation error in E[x^2] - E[x]^2 is
+        # ~|mean|^2 * 2^-23, negligible against these layers' O(1) vars.
+        f32 = jnp.float32
+        mean = jnp.mean(x, axis=(0, 2), dtype=f32)
+        msq = jnp.mean(jnp.square(x.astype(f32)), axis=(0, 2))
+        var = jnp.maximum(msq - mean * mean, 0.0)
         n = x.shape[0] * x.shape[2]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
@@ -138,10 +213,10 @@ def batchnorm_apply(p: Params, state: Params, x: jnp.ndarray, train: bool,
     else:
         mean, var = state["mean"], state["var"]
         new_state = state
-    inv = jax.lax.rsqrt(var + eps)
+    inv = jax.lax.rsqrt(var.astype(jnp.float32) + eps)
     y = (x - mean[None, :, None]) * (inv * p["scale"])[None, :, None] \
         + p["bias"][None, :, None]
-    return y, new_state
+    return y.astype(x.dtype), new_state
 
 
 # --------------------------------------------------------------------------

@@ -41,6 +41,14 @@ def postnet_apply(params: Dict[str, Any], state: Dict[str, Any],
     new_bn = []
     from ..ops.convbn_kernel import conv_bn_act_pallas, fused_convbn_enabled
     fused_eval = not train and fused_convbn_enabled()
+    # Training under a bf16 policy keeps the INTER-layer activations in
+    # the compute dtype: every (B, 512, T) tensor between convs (and its
+    # backward cotangent) moves at half bandwidth, while BN statistics
+    # still accumulate fp32 (batchnorm_apply) and the final residual
+    # emits fp32 for the loss.  Eval keeps fp32 intermediates (serving
+    # precision is governed by its own casts).
+    cdt = params["convs"][0]["w"].dtype
+    mid_dtype = cdt if (train and cdt != jnp.float32) else None
     for i, (conv_p, bn_p, bn_s) in enumerate(
             zip(params["convs"], params["bn"], state["bn"])):
         if fused_eval:
@@ -49,7 +57,8 @@ def postnet_apply(params: Dict[str, Any], state: Dict[str, Any],
                                    act="tanh" if i < n - 1 else "none")
             new_bn.append(bn_s)
             continue
-        x = conv1d_apply(conv_p, x, padding="same")
+        x = conv1d_apply(conv_p, x, padding="same",
+                         out_dtype=mid_dtype if i < n - 1 else None)
         x, bn_s2 = batchnorm_apply(bn_p, bn_s, x, train,
                                    momentum=cfg.batchnorm_momentum,
                                    eps=cfg.batchnorm_eps)

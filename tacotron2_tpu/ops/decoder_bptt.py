@@ -149,8 +149,13 @@ def _fwd_scan(cfg: ModelConfig, params, prenet_tbd, memory, pm, mask,
     if train_megakernel_enabled(cfg, b, t_enc, cdt):
         h = cfg.decoder_rnn_dim
         mka_s, mkd_s = _step_dropout_masks(cfg, step_keys, b, h)
-        return decoder_fwd_train_mega(cfg, params, prenet_tbd, memory,
-                                      pm, mask, mka_s, mkd_s)
+        out, res = decoder_fwd_train_mega(cfg, params, prenet_tbd, memory,
+                                          pm, mask, mka_s, mkd_s)
+        # Save the bool masks as residuals: regenerating them in the
+        # backward costs ~2.8 ms of threefry bit-twiddling at B=128
+        # (xplane: the single largest non-matmul fusion), vs 2x67 MB of
+        # bool residency here.
+        return out, res + (mka_s, mkd_s)
 
     def step(carry, xs):
         pre_t, key_t = xs
@@ -199,7 +204,8 @@ def _bptt_bwd(cfg, residuals, cots):
     # the Pallas forward additionally saves the attention qsum rows and
     # the pre-activation gate stacks (aa/ad) for the reverse kernel
     qsum_saved = res[4] if len(res) >= 5 else None
-    acts_saved = res[5:7] if len(res) == 7 else None
+    acts_saved = res[5:7] if len(res) >= 7 else None
+    masks_saved = res[7:9] if len(res) >= 9 else None
     ha_s, ca_s, hd_s, cd_s = res[:4]             # (T, B, H) each
     d_mels, d_gates, d_attn_out = cots           # (T,B,M), (T,B), (T,B,S)
     t_dec, b, _ = ha_s.shape
@@ -252,7 +258,7 @@ def _bptt_bwd(cfg, residuals, cots):
          d_pm) = _bwd_chain_mega(
             cfg, params, memory, step_keys, attns, ha_s, ca_s, cd_s,
             ca_prev_s, cd_prev_s, prev_s, cum_s, qsum_saved, acts_saved,
-            d_mels, d_gates, d_attn_out)
+            d_mels, d_gates, d_attn_out, masks_saved=masks_saved)
         return _bptt_weight_grads(
             cfg, params, prenet_tbd, memory, pm, mask, step_keys, attns,
             ha_s, hd_s, ha_prev_s, hd_prev_s, ctx_prev_c, ctx_c,
@@ -424,7 +430,7 @@ def _bptt_weight_grads(cfg, params, prenet_tbd, memory, pm, mask,
 def _bwd_chain_mega(cfg, params, memory, step_keys, attns,
                     ha_s, ca_s, cd_s, ca_prev_s, cd_prev_s,
                     prev_s, cum_s, qsum_s, acts_saved, d_mels,
-                    d_gates, d_attn_out):
+                    d_gates, d_attn_out, masks_saved=None):
     """Reverse dx chain via the Pallas kernel + hoisted attention-weight
     gradients (see ops/decoder_bwd_kernel.py for the division of labor).
     ``qsum_s`` (T, B, T_enc*A) is the forward kernel's saved attention
@@ -449,8 +455,11 @@ def _bwd_chain_mega(cfg, params, memory, step_keys, attns,
     ta = t_enc * adim
     lpad = (kloc - 1) // 2
 
-    mka_s, mkd_s = _step_dropout_masks(cfg, step_keys, b,
-                                       cfg.decoder_rnn_dim)
+    if masks_saved is not None:
+        mka_s, mkd_s = masks_saved     # forward's draws, saved as residuals
+    else:
+        mka_s, mkd_s = _step_dropout_masks(cfg, step_keys, b,
+                                           cfg.decoder_rnn_dim)
     wband = build_wband(att, t_enc, adim, kloc, cdt)
 
     d_out_s = jnp.concatenate([d_mels, d_gates[..., None]],

@@ -3,6 +3,7 @@ TPU).  Each kernel must match its pure-jnp reference implementation.
 """
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -186,3 +187,71 @@ class TestConvBnActKernel:
                                    atol=5e-4, rtol=5e-4)
         np.testing.assert_allclose(np.asarray(res), np.asarray(res_ref),
                                    atol=5e-4, rtol=5e-4)
+
+
+class TestMxuConvBackward:
+    """The hand-written conv1d backward (layers._conv1d_mxu: d_w as K
+    time-shifted MXU contractions, d_x as the tap-reversed transposed
+    conv) must produce the same gradients as XLA's conv transpose."""
+
+    @pytest.mark.parametrize("k,pad", [(5, "same"), (4, "same"), (5, 1)])
+    def test_grad_parity_fp32(self, k, pad, monkeypatch):
+        from tacotron2_tpu.models.layers import conv1d_apply, conv1d_init
+        key = jax.random.PRNGKey(0)
+        p = conv1d_init(key, 64, 64, k)
+        x = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((2, 64, 33)).astype(np.float32))
+
+        def loss(p, x, enabled):
+            with_env = "1" if enabled else "0"
+            monkeypatch.setenv("TACOTRON2_MXU_CONVGRAD", with_env)
+            y = conv1d_apply(p, x, padding=pad)
+            return jnp.sum(jnp.sin(y) * y), y
+
+        (val, y), grads = jax.value_and_grad(loss, argnums=(0, 1),
+                                             has_aux=True)(p, x, True)
+        (val0, y0), grads0 = jax.value_and_grad(loss, argnums=(0, 1),
+                                                has_aux=True)(p, x, False)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y0),
+                                   atol=1e-5, rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(grads),
+                        jax.tree_util.tree_leaves(grads0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=2e-4)
+
+    def test_grad_parity_bf16_weights(self, monkeypatch):
+        # bf16 weights (the training policy's cast view): cotangents must
+        # land in bf16 and match the XLA transpose within bf16 rounding.
+        from tacotron2_tpu.models.layers import conv1d_apply, conv1d_init
+        key = jax.random.PRNGKey(1)
+        p32 = conv1d_init(key, 64, 64, 5)
+        p = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), p32)
+        x = jnp.asarray(np.random.default_rng(1)
+                        .standard_normal((2, 64, 40)).astype(np.float32))
+
+        def loss(p, x, enabled):
+            monkeypatch.setenv("TACOTRON2_MXU_CONVGRAD",
+                               "1" if enabled else "0")
+            y = conv1d_apply(p, x, padding="same", out_dtype=jnp.bfloat16)
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1))(p, x, True)
+        g0 = jax.grad(loss, argnums=(0, 1))(p, x, False)
+        assert g[0]["w"].dtype == jnp.bfloat16
+        for a, b in zip(jax.tree_util.tree_leaves(g),
+                        jax.tree_util.tree_leaves(g0)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=5e-2, rtol=5e-2)
+
+    def test_tiny_conv_takes_raw_path(self):
+        # The K-dispatch backward loses for tiny channel counts (e.g. the
+        # 2->32 K=31 location conv inside the decode scan): conv1d_apply
+        # must route those through the plain XLA conv.
+        from tacotron2_tpu.models import layers as L
+        assert 2 * 32 < 4096  # the gate conv1d_apply checks
+        p = L.conv1d_init(jax.random.PRNGKey(0), 2, 32, 31)
+        x = jnp.ones((3, 2, 50), jnp.float32)
+        y = L.conv1d_apply(p, x, padding="same")
+        assert y.shape == (3, 32, 50)
