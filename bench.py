@@ -109,6 +109,15 @@ def main():
 
     import os
     bench_ckpt = os.environ.get("TACOTRON2_BENCH_CHECKPOINT")
+    if bench_ckpt is None:
+        # Default to the committed trained model (r4 AR-stability
+        # evidence, checkpoints/r4_synth_bf16) so every driver run
+        # records a REAL gate-stop RTF alongside the instrumented one.
+        # Set TACOTRON2_BENCH_CHECKPOINT="" to skip.
+        default_ckpt = os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "checkpoints", "r4_synth_bf16")
+        if os.path.isdir(default_ckpt):
+            bench_ckpt = default_ckpt
 
     def run_fused(batch):
         # new tokens every call — the runtime dedupes identical executions

@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--split", type=int, default=1,
                     help="1 = split-BPTT decoder backward, 0 = autodiff")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--hlo", default=None,
+                    help="also write the optimized HLO text here (maps "
+                         "fusion names to source lines)")
     args = ap.parse_args()
 
     enable_persistent_cache()
@@ -79,6 +82,13 @@ def main():
     state, losses, _ = train_step(state, batch(), cfg=cfg, tx=tx,
                                   use_postnet=True, sigma_warmup_steps=sigma)
     float(losses.total)   # compile + warm
+    if args.hlo:
+        txt = train_step.lower(state, batch(), cfg=cfg, tx=tx,
+                               use_postnet=True,
+                               sigma_warmup_steps=sigma).compile().as_text()
+        with open(args.hlo, "w") as f:
+            f.write(txt)
+        print(f"HLO text -> {args.hlo} ({len(txt)} bytes)")
     tb = stage(batch())
     with tempfile.TemporaryDirectory() as tdir:
         with jax.profiler.trace(tdir):
