@@ -58,6 +58,13 @@ def load_model(checkpoint_path: str, cfg: Optional[Config] = None):
             f"could not load checkpoint {checkpoint_path!r}: "
             f"{type(e).__name__}: {e} (multi-speaker checkpoints need a "
             f"matching n_speakers config / --n_speakers)") from e
+    # Stage the weights on the default device ONCE: params-only restores
+    # land as host numpy (backend-independent restore), and every
+    # synthesis dispatch with host operands would re-upload ~43 MB —
+    # catastrophic through a tunneled chip (measured 1.9 s/call vs 76 ms).
+    import jax
+    params = jax.device_put(params)
+    model_state = jax.device_put(model_state)
     return params, model_state
 
 

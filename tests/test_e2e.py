@@ -99,6 +99,13 @@ class TestInferencePipeline:
         ckpt_dir, _ = debug_run
         ckpt = os.path.join(ckpt_dir, "debug_export", "overfit_model")
         params, model_state = load_model(ckpt, SMALL_CFG)
+        # Weights must land ON DEVICE: the backend-independent restore
+        # yields host numpy, and host operands would re-upload the whole
+        # parameter set on every synthesis dispatch (~43 MB — measured
+        # 1.9 s/call vs 76 ms through a tunneled chip).
+        import jax
+        for leaf in jax.tree_util.tree_leaves(params):
+            assert isinstance(leaf, jax.Array), type(leaf)
         mels, aligns = synthesize_mels(params, model_state,
                                        ["Hello world."], SMALL_CFG,
                                        max_steps=40)
