@@ -125,8 +125,13 @@ def megakernel_enabled(cfg: ModelConfig, b: int = 1, t_enc: int = 128,
             return False
         b = b // n
     # Batched banded-matmul middle (r4): no hard batch cap — the VMEM
-    # estimate is the gate (B=64 fits at the reference dims; B=128 does
-    # not).  r3's unrolled middle capped this at b=8.
+    # estimate is the gate (bf16 weights engage through B=128 at the
+    # reference dims; fp32 through B=16).  r3's unrolled middle capped
+    # this at b=8.  Estimate at the SUBLANE-PADDED batch the kernel will
+    # actually compile (decoder_infer_mega pads per-shard rows to the
+    # 8-sublane tile) so a batch near the boundary falls back to the
+    # while_loop instead of tripping the Mosaic VMEM limit.
+    b = max(8, -(-b // 8) * 8)
     return _vmem_estimate(cfg, b, t_enc, bytes_per_weight) < _VMEM_BUDGET
 
 

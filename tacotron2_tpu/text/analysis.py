@@ -65,15 +65,17 @@ def _material_variants(variants: List[Tuple[str, ...]]) -> bool:
     """Do >= 2 CMUdict variants differ as READINGS — different segments
     or a moved primary stress — rather than unstressed-schwa jitter?"""
     def key(phones: Tuple[str, ...]):
-        segs = tuple(p.rstrip("012") for p in phones)
-        primary = tuple(i for i, p in enumerate(phones) if p.endswith("1"))
+        # Collapse UNSTRESSED schwa insertions only (AH0/IH0): a
+        # stressed AH1-vs-IH1 difference IS a reading difference and
+        # must survive.  Primary-stress positions are computed on the
+        # COLLAPSED skeleton, so a schwa inserted before the stressed
+        # vowel doesn't shift the position and fake a stress move.
+        kept = [p for p in phones if p not in ("AH0", "IH0")]
+        segs = tuple(p.rstrip("012") for p in kept)
+        primary = tuple(i for i, p in enumerate(kept) if p.endswith("1"))
         return segs, primary
 
-    seen = set()
-    for v in variants:
-        segs, primary = key(v)
-        # collapse pure schwa-insertion variants to the segment skeleton
-        seen.add((tuple(s for s in segs if s not in ("AH", "IH")), primary))
+    seen = {key(v) for v in variants}
     return len(seen) >= 2
 
 

@@ -347,6 +347,7 @@ def train(metadata_path: str, checkpoint_dir: str, *,
 
     timer = StepTimer()
     gstep = int(state.step)
+    run_saved_epochs: list = []   # epoch ckpts THIS run wrote (see pruner)
     for epoch in range(start_epoch, tcfg.epochs):
         t0 = time.time()
         # Per-step losses stay device-side (async dispatch keeps the TPU
@@ -416,17 +417,23 @@ def train(metadata_path: str, checkpoint_dir: str, *,
                        f"Mel {metrics['mel']:.4f} Gate {metrics['gate']:.4f} "
                        f"AttnEntropy {metrics['entropy']:.3f}")
             if metrics["mel"] < best_val_mel:
-                best_val_mel = metrics["mel"]
+                # Advance best_val_mel only on a SUCCESSFUL save: if the
+                # disk was full here, a later (slightly worse-than-this,
+                # better-than-disk) epoch must still retry the save, or
+                # best_model stays stale for the rest of the run.
                 if _save_best_effort(
                         os.path.join(checkpoint_dir, "best_model"),
-                        state, epoch, best_val_mel, logger):
+                        state, epoch, metrics["mel"], logger):
+                    best_val_mel = metrics["mel"]
                     logger.log(f"Saved best checkpoint "
                                f"(val mel {best_val_mel:.4f})")
 
-        _save_best_effort(
-            os.path.join(checkpoint_dir, f"tacotron2_epoch_{epoch + 1}"),
-            state, epoch, best_val_mel, logger)
-        _prune_epoch_ckpts(checkpoint_dir, tcfg.keep_epoch_ckpts, logger)
+        if _save_best_effort(
+                os.path.join(checkpoint_dir, f"tacotron2_epoch_{epoch + 1}"),
+                state, epoch, best_val_mel, logger):
+            run_saved_epochs.append(epoch + 1)
+        _prune_epoch_ckpts(checkpoint_dir, tcfg.keep_epoch_ckpts, logger,
+                           run_saved_epochs)
         if alignments is not None and is_lead:
             save_alignment_plot(
                 _host_local(alignments),
@@ -450,28 +457,32 @@ def _save_best_effort(path: str, state: TrainState, epoch: int,
         # Orbax leaves a *.orbax-checkpoint-tmp dir behind on failure;
         # remove it so retries (and disk space) recover.
         import shutil
-        for leftover in (path, path + ".orbax-checkpoint-tmp"):
-            if os.path.isdir(leftover) and leftover.endswith(
-                    ".orbax-checkpoint-tmp"):
-                shutil.rmtree(leftover, ignore_errors=True)
+        leftover = path + ".orbax-checkpoint-tmp"
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover, ignore_errors=True)
         return False
 
 
-def _prune_epoch_ckpts(checkpoint_dir: str, keep: int, logger) -> None:
-    """Keep only the newest ``keep`` tacotron2_epoch_* checkpoints
-    (0 = keep all, the reference's unbounded cadence)."""
+def _prune_epoch_ckpts(checkpoint_dir: str, keep: int, logger,
+                       run_saved_epochs) -> None:
+    """Keep only the newest ``keep`` of the per-epoch checkpoints THIS
+    RUN created (0 = keep all, the reference's unbounded cadence).
+
+    Scoping to ``run_saved_epochs`` matters on resume: a checkpoint_dir
+    may hold hundreds of pre-existing tacotron2_epoch_* dirs from
+    earlier runs, and retroactively applying the retention policy to
+    artifacts this run never wrote would silently delete them.  Every
+    deletion is logged."""
     if not keep or keep <= 0:
         return
-    import re
     import shutil
-    epochs = []
-    for name in os.listdir(checkpoint_dir):
-        m = re.fullmatch(r"tacotron2_epoch_(\d+)", name)
-        if m:
-            epochs.append((int(m.group(1)), name))
-    for _, name in sorted(epochs)[:-keep]:
-        shutil.rmtree(os.path.join(checkpoint_dir, name),
-                      ignore_errors=True)
+    for epoch_n in sorted(run_saved_epochs)[:-keep]:
+        path = os.path.join(checkpoint_dir, f"tacotron2_epoch_{epoch_n}")
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+            logger.log(f"Pruned epoch checkpoint {path} "
+                       f"(keep_epoch_ckpts={keep})")
+    del run_saved_epochs[: max(0, len(run_saved_epochs) - keep)]
 
 
 def _resume(resume: str, template: TrainState):

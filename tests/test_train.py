@@ -350,3 +350,55 @@ class TestCheckpoint:
         msg = str(exc_info.value)
         assert "bad" in msg
         assert "full training state" in msg and "params-only" in msg
+
+
+class TestCheckpointRetention:
+    def test_prune_scopes_to_this_runs_checkpoints(self, tmp_path):
+        """Resume into a directory full of pre-existing epoch checkpoints:
+        the retention policy must only prune checkpoints THIS run wrote,
+        never retroactively delete earlier runs' artifacts."""
+        from tacotron2_tpu.train.loop import _prune_epoch_ckpts
+
+        class Log:
+            lines: list = []
+            def log(self, msg):
+                self.lines.append(msg)
+
+        # pre-existing checkpoints from an earlier run
+        for n in (1, 2, 3):
+            (tmp_path / f"tacotron2_epoch_{n}").mkdir()
+        # this run wrote epochs 10..15
+        run_saved = []
+        for n in range(10, 16):
+            (tmp_path / f"tacotron2_epoch_{n}").mkdir()
+            run_saved.append(n)
+        logger = Log()
+        _prune_epoch_ckpts(str(tmp_path), 2, logger, run_saved)
+
+        surviving = sorted(p.name for p in tmp_path.iterdir())
+        # earlier-run artifacts untouched; this run keeps only newest 2
+        assert "tacotron2_epoch_1" in surviving
+        assert "tacotron2_epoch_2" in surviving
+        assert "tacotron2_epoch_3" in surviving
+        assert "tacotron2_epoch_14" in surviving
+        assert "tacotron2_epoch_15" in surviving
+        assert "tacotron2_epoch_10" not in surviving
+        assert "tacotron2_epoch_13" not in surviving
+        # deletions are logged, and the tracking list is trimmed so the
+        # next call doesn't re-walk pruned epochs
+        assert any("Pruned epoch checkpoint" in l for l in logger.lines)
+        assert run_saved == [14, 15]
+
+    def test_keep_zero_keeps_everything(self, tmp_path):
+        from tacotron2_tpu.train.loop import _prune_epoch_ckpts
+        run_saved = []
+        for n in range(1, 5):
+            (tmp_path / f"tacotron2_epoch_{n}").mkdir()
+            run_saved.append(n)
+
+        class Log:
+            def log(self, msg):
+                pass
+
+        _prune_epoch_ckpts(str(tmp_path), 0, Log(), run_saved)
+        assert len(list(tmp_path.iterdir())) == 4
