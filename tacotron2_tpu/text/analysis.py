@@ -65,18 +65,32 @@ def _material_variants(variants: List[Tuple[str, ...]]) -> bool:
     """Do >= 2 CMUdict variants differ as READINGS — different segments
     or a moved primary stress — rather than unstressed-schwa jitter?"""
     def key(phones: Tuple[str, ...]):
-        # Collapse UNSTRESSED schwa insertions only (AH0/IH0): a
-        # stressed AH1-vs-IH1 difference IS a reading difference and
-        # must survive.  Primary-stress positions are computed on the
-        # COLLAPSED skeleton, so a schwa inserted before the stressed
-        # vowel doesn't shift the position and fake a stress move.
-        kept = [p for p in phones if p not in ("AH0", "IH0")]
+        # Skeleton = consonants + STRESSED vowels.  Unstressed (stress-0)
+        # vowels drop entirely: both their presence ("gentle" with or
+        # without the schwa) and their quality ("the" as DH AH0 vs
+        # DH IY0) are free variation, not readings — while a stressed
+        # AH1-vs-IH1 difference survives.  Primary-stress positions are
+        # computed on the COLLAPSED skeleton, so an unstressed-vowel
+        # insertion before the stressed vowel can't fake a stress move.
+        kept = [p for p in phones if not p.endswith("0")]
         segs = tuple(p.rstrip("012") for p in kept)
         primary = tuple(i for i, p in enumerate(kept) if p.endswith("1"))
         return segs, primary
 
     seen = {key(v) for v in variants}
     return len(seen) >= 2
+
+
+#: Closed-class words whose CMUdict variants are weak-form (citation vs
+#: reduced) or elision alternation — prosody-driven, never POS-driven, so
+#: they are pure noise in a heteronym curation queue.  ("read"/"lives"/
+#: "use" style POS heteronyms are all open-class.)
+_WEAK_FORMS = frozenset(
+    "the a an and or to of for at on in into with as than then them that "
+    "this these those was were is are be been being have has had do does "
+    "did will would shall should can could may might must am but if when "
+    "what which who whom because from by about just your our their his her "
+    "its my you we they he she it i not no nor so such per via upon".split())
 
 
 def heteronym_audit(texts: Iterable[str], top_n: int = 40) -> Dict:
@@ -103,7 +117,8 @@ def heteronym_audit(texts: Iterable[str], top_n: int = 40) -> Dict:
     for word, count in token_counts.items():
         if word in HOMOGRAPHS or word in TENSE_HETERONYMS:
             covered[word] += count
-        elif len(variants.get(word, ())) >= 2 \
+        elif word not in _WEAK_FORMS \
+                and len(variants.get(word, ())) >= 2 \
                 and _material_variants(variants[word]):
             misses[word] += count
 

@@ -496,3 +496,34 @@ class TestHomographsR4Expansion:
         assert rep["covered_tokens"] >= 6   # impact x2, survey x2, ...
         assert rep["total_tokens"] > 0
         assert 0.0 <= rep["candidate_miss_rate"] <= 1.0
+
+    def test_materiality_filter_and_weak_forms(self):
+        """The curation queue must keep true reading differences and drop
+        free variation: unstressed-vowel presence/quality collapses (the
+        'gentle'/'the' classes), closed-class weak forms never enqueue,
+        and a stressed-vowel contrast ('read') stays material."""
+        from tacotron2_tpu.text.analysis import (_WEAK_FORMS,
+                                                 _material_variants)
+        # stressed-vowel contrast: THE heteronym class — material
+        assert _material_variants([("R", "IY1", "D"), ("R", "EH1", "D")])
+        # moved primary stress — material
+        assert _material_variants(
+            [("S", "ER1", "V", "EY2"), ("S", "ER0", "V", "EY1")])
+        # unstressed-schwa insertion — NOT material
+        assert not _material_variants(
+            [("S", "IH1", "M", "P", "AH0", "L"),
+             ("S", "IH1", "M", "P", "L")])
+        # unstressed vowel QUALITY jitter (AH0 vs IH0 vs ER0) — NOT material
+        assert not _material_variants(
+            [("R", "OW1", "Z", "AH0", "Z"), ("R", "OW1", "Z", "IH0", "Z")])
+        # schwa inserted BEFORE the stressed vowel must not fake a
+        # stress move
+        assert not _material_variants(
+            [("B", "AH0", "L", "OW1"), ("B", "L", "OW1")])
+        # weak forms are excluded from the queue wholesale
+        for w in ("the", "a", "and", "to", "of"):
+            assert w in _WEAK_FORMS
+        from tacotron2_tpu.text.analysis import heteronym_audit
+        rep = heteronym_audit(["the cat and the hat go to the store"])
+        assert all(m["word"] not in _WEAK_FORMS
+                   for m in rep["top_candidate_misses"])
