@@ -241,10 +241,6 @@ def _bptt_bwd(cfg, residuals, cots):
     def shift(series, init):
         return jnp.concatenate([init[None], series[:-1]], axis=0)
 
-    ha_prev_s = shift(ha_s, jnp.zeros((b, h), cdt))
-    ca_prev_s = shift(ca_s, jnp.zeros((b, h), ca_s.dtype))
-    hd_prev_s = shift(hd_s, jnp.zeros((b, h), cdt))
-    cd_prev_s = shift(cd_s, jnp.zeros((b, h), cd_s.dtype))
     prev_s = shift(attns, jnp.zeros((b, t_enc), attns.dtype))
     # Exclusive prefix sums: the cum_attn state each step consumed.
     # Shift-then-cumsum, NOT cumsum-minus-attns — the subtraction form
@@ -261,7 +257,6 @@ def _bptt_bwd(cfg, residuals, cots):
                        mem_ctx.astype(f32) if mem_ctx.dtype != f32 else
                        mem_ctx, preferred_element_type=f32)
     ctx_c = ctx_s.astype(cdt)
-    ctx_prev_c = shift(ctx_c, jnp.zeros((b, memory.shape[2]), cdt))
 
     small = {k: params["attention"][k] for k in _SMALL_ATT_KEYS}
     w_heads_t = jnp.concatenate(
@@ -273,17 +268,27 @@ def _bptt_bwd(cfg, residuals, cots):
                                                            cdt):
         # Pallas reverse-chain kernel + hoisted attention-weight grads
         # (ops/decoder_bwd_kernel.py) — same emitted series/grads as the
-        # scan below, weights VMEM-resident across steps.
+        # scan below, weights VMEM-resident across steps.  No shifted
+        # cell-state copies: the kernel reads ca_s/cd_s at t-1 itself.
         (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_small,
          d_pm) = _bwd_chain_mega(
             cfg, params, memory, step_keys, attns, ha_s, ca_s, cd_s,
-            ca_prev_s, cd_prev_s, prev_s, cum_s, qsum_saved, acts_saved,
+            prev_s, cum_s, qsum_saved, acts_saved,
             d_mels, d_gates, d_attn_out, masks_saved=masks_saved)
         return _bptt_weight_grads(
             cfg, params, prenet_tbd, memory, pm, mask, step_keys, attns,
-            ha_s, hd_s, ha_prev_s, hd_prev_s, ctx_prev_c, ctx_c,
+            ha_s, hd_s, ctx_c,
             d_mels, d_gates, g_att_s, g_dec_s, d_ctx_s, d_pre_s,
             d_small, d_pm)
+
+    # Shifted series feed the scan fallback's per-step recompute only —
+    # the Pallas path above never materializes them (the kernel reads
+    # t-1 rows via its index map; the weight grads contract slices).
+    ha_prev_s = shift(ha_s, jnp.zeros((b, h), cdt))
+    ca_prev_s = shift(ca_s, jnp.zeros((b, h), ca_s.dtype))
+    hd_prev_s = shift(hd_s, jnp.zeros((b, h), cdt))
+    cd_prev_s = shift(cd_s, jnp.zeros((b, h), cd_s.dtype))
+    ctx_prev_c = shift(ctx_c, jnp.zeros((b, memory.shape[2]), cdt))
 
     att_fn = lambda sm, hh, pv, cm, pmm: _attn_probs(sm, hh, pv, cm, pmm,
                                                      mask, cdt)
@@ -392,18 +397,26 @@ def _bptt_bwd(cfg, residuals, cots):
     (_, _, _, _, _, _, _, d_pm, d_small) = carry_f
     return _bptt_weight_grads(
         cfg, params, prenet_tbd, memory, pm, mask, step_keys, attns,
-        ha_s, hd_s, ha_prev_s, hd_prev_s, ctx_prev_c, ctx_c,
+        ha_s, hd_s, ctx_c,
         d_mels, d_gates, g_att_s, g_dec_s, d_ctx_s, d_pre_s,
         d_small, d_pm)
 
 
 def _bptt_weight_grads(cfg, params, prenet_tbd, memory, pm, mask,
-                       step_keys, attns, ha_s, hd_s, ha_prev_s, hd_prev_s,
-                       ctx_prev_c, ctx_c, d_mels, d_gates,
+                       step_keys, attns, ha_s, hd_s, ctx_c,
+                       d_mels, d_gates,
                        g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_small, d_pm):
     """Shared tail: hoisted weight-gradient contractions — one
     time-batched MXU matmul per weight instead of T_dec in-loop
-    accumulator updates — and cotangent assembly."""
+    accumulator updates — and cotangent assembly.
+
+    Shifted operand series are never materialized: the t-1-input
+    contractions drop the zero t=0 term and contract SLICES
+    (``dw(x_s[:-1], g_s[1:])``) — identical terms, and the (T, B, ·)
+    shift-concat copies (~0.5 GB of HBM write+read at B=128) vanish.
+    Concatenated inputs ([prenet|ctx_prev], [ha|ctx], [hd|ctx])
+    likewise contract per part and concatenate the small (in, out)
+    RESULTS instead of the big (T, B, in) operands."""
     n_mels = cfg.n_mels
     cdt = params["attn_lstm"]["wi"].dtype
     f32 = jnp.float32
@@ -412,17 +425,19 @@ def _bptt_weight_grads(cfg, params, prenet_tbd, memory, pm, mask,
         return jnp.einsum("tbi,tbg->ig", x_series, g_series,
                           preferred_element_type=f32)
 
-    xa_s = jnp.concatenate([prenet_tbd.astype(cdt), ctx_prev_c], axis=-1)
-    d_wi_a = dw(xa_s, g_att_s)
-    d_wh_a = dw(ha_prev_s, g_att_s)
+    d_wi_a = jnp.concatenate(
+        [dw(prenet_tbd.astype(cdt), g_att_s),
+         dw(ctx_c[:-1], g_att_s[1:])], axis=0)   # ctx_prev_t = ctx_{t-1}
+    d_wh_a = dw(ha_s[:-1], g_att_s[1:])
     d_b_a = jnp.sum(g_att_s.astype(f32), axis=(0, 1))
-    xd_s = jnp.concatenate([ha_s, ctx_c], axis=-1)
-    d_wi_d = dw(xd_s, g_dec_s)
-    d_wh_d = dw(hd_prev_s, g_dec_s)
+    d_wi_d = jnp.concatenate(
+        [dw(ha_s, g_dec_s), dw(ctx_c, g_dec_s)], axis=0)
+    d_wh_d = dw(hd_s[:-1], g_dec_s[1:])
     d_b_d = jnp.sum(g_dec_s.astype(f32), axis=(0, 1))
-    proj_in_s = jnp.concatenate([hd_s, ctx_c], axis=-1)
     d_out_s = jnp.concatenate([d_mels, d_gates[..., None]], axis=-1)
-    d_w_heads = dw(proj_in_s, d_out_s.astype(cdt))
+    d_out_c = d_out_s.astype(cdt)
+    d_w_heads = jnp.concatenate(
+        [dw(hd_s, d_out_c), dw(ctx_c, d_out_c)], axis=0)
     d_b_heads = jnp.sum(d_out_s, axis=(0, 1))
 
     # d_memory: fp32 context path (the encoder's whole gradient signal) +
@@ -448,7 +463,7 @@ def _bptt_weight_grads(cfg, params, prenet_tbd, memory, pm, mask,
 
 
 def _bwd_chain_mega(cfg, params, memory, step_keys, attns,
-                    ha_s, ca_s, cd_s, ca_prev_s, cd_prev_s,
+                    ha_s, ca_s, cd_s,
                     prev_s, cum_s, qsum_s, acts_saved, d_mels,
                     d_gates, d_attn_out, masks_saved=None):
     """Reverse dx chain via the Pallas kernel + hoisted attention-weight
@@ -486,16 +501,17 @@ def _bwd_chain_mega(cfg, params, memory, step_keys, attns,
                               axis=-1).astype(f32)
 
     aa_s, ad_s = acts_saved
-    (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_qsum_s, d_pq_s, dv_b,
+    (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_qsum_s, d_pq_s, dv_b, dpm_b,
      scal) = decoder_bwd_chain_mega(
         cfg, params, wband, memory, mka_s, mkd_s,
-        aa_s, ad_s, ca_s, cd_s, ca_prev_s, cd_prev_s, attns, qsum_s,
+        aa_s, ad_s, ca_s, cd_s, attns, qsum_s,
         d_out_s, d_attn_out.astype(f32))
 
     # ---- hoisted attention-weight gradients (single time-batched
     # contractions over the kernel's emitted d_qsum/d_pq series) ----
     scale = att["energy_scale"].astype(f32)
-    d_pm = jnp.sum(d_qsum_s.astype(f32), axis=0).reshape(b, t_enc, adim)
+    # d_pm accumulated IN-kernel (fp32, pre-rounding) — no stream re-read
+    d_pm = dpm_b.reshape(b, t_enc, adim)
     d_qw = jnp.einsum("tbh,tba->ha", ha_s.astype(f32), d_pq_s,
                       preferred_element_type=f32)
     zpad = lambda x: jnp.pad(

@@ -26,13 +26,22 @@ accumulators, the same principle as the split backward itself):
     softmax/attention backward chains, and emit the per-step gate
     gradients (g_att, g_dec), the context/prenet cotangents, and the
     energy cotangent row ``d_e`` (B, T_enc).
-  * OUTSIDE, hoisted, after the kernel: every attention WEIGHT gradient
-    reconstructs from (d_e_s, qsum_s) as single time-batched
-    contractions — d_qsum_s = d_e_s*scale*v*(1-th^2), then d_pm (a
-    reduce), d_query (einsum with the stored hiddens), the banded-conv
-    gradient (prevcat_s^T @ d_loc2_s, folded back along the band
-    diagonals to conv/dense grads by the chain rule through the
-    composition), v/bias/scale reductions.
+  * OUTSIDE, hoisted, after the kernel: the remaining attention WEIGHT
+    gradients reconstruct from (d_e_s, qsum_s) as single time-batched
+    contractions — d_qsum_s = d_e_s*scale*v*(1-th^2), then d_query
+    (einsum with the stored hiddens), the banded-conv gradient
+    (prevcat_s^T @ d_loc2_s, folded back along the band diagonals to
+    conv/dense grads by the chain rule through the composition).
+    The v/bias/scale reductions AND the processed-memory gradient
+    ``d_pm`` accumulate IN-kernel (d_pm is a (B, T_enc*A) resident
+    f32 output block — accumulating it here removes a full re-read of
+    the ~2 GB d_qsum stream, measured ~2.8 ms at B=128, and sums the
+    UNROUNDED fp32 d_qsum instead of the streamed cdt rows).
+
+  The previous-step cell states are NOT materialized as shifted copies:
+  ``ca_s``/``cd_s`` are passed twice with a t-1 block index map
+  (clamped at t=0 and zero-masked in-kernel), saving the ~0.5 GB
+  shift-concat write+read per step the old ``shift()`` paid.
 
 Numerics: the hand-derived softmax/tanh/linear chains mirror
 `_bptt_bwd`'s `jax.vjp` over `_attn_probs` (same dtype policy: compute-
@@ -65,9 +74,9 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
             cap_ref, cdp_ref, attn_ref, qsum_ref, dout_ref, dattn_ref,
             # resident
             wi_a, wh_a, wi_d, wh_d, wq, wband, v3, w_heads, mem,
-            # outputs (streamed rows + final accumulators)
+            # outputs (streamed rows + resident accumulators)
             gatt_ref, gdec_ref, dctx_ref, dpre_ref, dqsum_ref, dpq_ref,
-            dv_ref, scal_ref,
+            dv_ref, dpm_ref, scal_ref,
             # scratch gradient carries
             d_ha, d_ca, d_hd, d_cd, d_ctxn, d_prev, d_cum, dv_acc,
             scal_acc):
@@ -88,8 +97,14 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
         d_prev[:] = jnp.zeros_like(d_prev)
         d_cum[:] = jnp.zeros_like(d_cum)
         dv_acc[:] = jnp.zeros_like(dv_acc)
+        dpm_ref[:] = jnp.zeros_like(dpm_ref)
         scal_acc[0] = 0.0
         scal_acc[1] = 0.0
+
+    # t=0 (the LAST grid step on this reversed grid) has no previous
+    # step: its "previous cell state" block is the clamped t=0 row of
+    # ca_s/cd_s — mask it to the zero initial state.
+    prevmask = jnp.where(g == pl.num_programs(0) - 1, 0.0, 1.0)
 
     def dotT(x, w):
         # (B, out) x (in, out) -> (B, in): contract the out dim without
@@ -133,7 +148,7 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
     d_cdv = d_cd[:] + d_hdv * od * (1.0 - tcd * tcd)
     g_dec = jnp.concatenate(
         [d_cdv * ggd * id_ * (1.0 - id_),
-         d_cdv * cdp_ref[0] * fd * (1.0 - fd),
+         d_cdv * (cdp_ref[0] * prevmask) * fd * (1.0 - fd),
          d_cdv * id_ * (1.0 - ggd * ggd),
          d_od * od * (1.0 - od)], axis=-1).astype(cdt)
     gdec_ref[0] = g_dec
@@ -157,6 +172,9 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
     # fp32 tanh (qsum was the rounded value the forward's tanh consumed)
     th = jnp.tanh(qsum_ref[0].reshape(b, t_enc, adim).astype(f32))
     d_qsum = d_eraw[:, :, None] * v3[:] * (1.0 - th * th)  # (B, T, A) f32
+    # processed-memory gradient: accumulate the UNROUNDED fp32 d_qsum
+    # into the resident output block (saves the outside stream re-read)
+    dpm_ref[:] = dpm_ref[:] + d_qsum.reshape(b, t_enc * adim)
     d_pq = jnp.sum(d_qsum, axis=1)                        # (B, A)
     dpq_ref[0] = d_pq
     # v / bias / scale gradient pieces accumulate in-kernel (everything
@@ -181,7 +199,7 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
     d_cav = d_ca[:] + d_hav * oa * (1.0 - tca * tca)
     g_att = jnp.concatenate(
         [d_cav * gga * ia * (1.0 - ia),
-         d_cav * cap_ref[0] * fa * (1.0 - fa),
+         d_cav * (cap_ref[0] * prevmask) * fa * (1.0 - fa),
          d_cav * ia * (1.0 - gga * gga),
          d_oa * oa * (1.0 - oa)], axis=-1).astype(cdt)
     gatt_ref[0] = g_att
@@ -201,23 +219,24 @@ def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,
 def decoder_bwd_chain_mega(cfg: ModelConfig, params: Dict[str, Any],
                            wband: jnp.ndarray, memory: jnp.ndarray,
                            mka_s, mkd_s, aa_s, ad_s, ca_s, cd_s,
-                           ca_prev_s, cd_prev_s, attns, qsum_s,
-                           d_out_s, d_attn_out
+                           attns, qsum_s, d_out_s, d_attn_out
                            ) -> Tuple[jnp.ndarray, ...]:
     """Run the reverse dx chain as one Pallas program.
 
     Inputs are the per-step series the forward kernel saved — the
     pre-activation gate stacks ``aa_s/ad_s (T, B, 4H)`` (compute dtype;
-    activations re-derived in fp32 in-kernel), the current and shifted
-    cell states, the attention energy pre-activation rows
+    activations re-derived in fp32 in-kernel), the cell-state series
+    (each consumed twice: once at t, once at t-1 via a clamped index
+    map — no shifted copies), the attention energy pre-activation rows
     ``qsum_s (T, B, T_enc*A)`` (the whole attention-energy residual),
     the dropout masks and the
     output cotangents — plus the precomputed ``wband``.  Returns the
     per-step series (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_qsum_s,
     d_pq_s) ordered by step t like the forward — from which the
     LSTM/head/attention weight gradients hoist as time-batched
-    contractions — plus the in-kernel v/scale/bias accumulators (dv
-    per-batch partials and [sum d_e*(e_raw+vb), sum d_e]).
+    contractions — plus the in-kernel accumulators: dv per-batch
+    partials, the per-batch processed-memory gradient ``dpm_b
+    (B, T_enc*A)`` and [sum d_e*(e_raw+vb), sum d_e].
     """
     att = params["attention"]
     cdt = params["attn_lstm"]["wi"].dtype
@@ -232,16 +251,16 @@ def decoder_bwd_chain_mega(cfg: ModelConfig, params: Dict[str, Any],
     from .meshing import shard_over_batch
     call = shard_over_batch(
         functools.partial(_bwd_mega_call, cfg),
-        # fscal, 12 streamed (T, B, .) series, 8 resident weights,
+        # fscal, 10 streamed (T, B, .) series, 8 resident weights,
         # per-item memory
-        in_batch_dims=(None,) + (1,) * 12 + (None,) * 8 + (0,),
-        # per-step series + dv per-batch partials; the (2,) scale/bias
-        # accumulator is batch-reduced IN-kernel -> psum over the axis
-        out_batch_dims=(1,) * 6 + (0, None),
-        reduce_out=(7,))
+        in_batch_dims=(None,) + (1,) * 10 + (None,) * 8 + (0,),
+        # per-step series + dv/dpm per-batch partials; the (2,)
+        # scale/bias accumulator is batch-reduced IN-kernel -> psum
+        out_batch_dims=(1,) * 6 + (0, 0, None),
+        reduce_out=(8,))
     return call(
         fscal, mka_s.astype(cdt), mkd_s.astype(cdt),
-        aa_s, ad_s, ca_s, cd_s, ca_prev_s, cd_prev_s,
+        aa_s, ad_s, ca_s, cd_s,
         attns, qsum_s, d_out_s, d_attn_out,
         params["attn_lstm"]["wi"].astype(cdt),
         params["attn_lstm"]["wh"].astype(cdt),
@@ -252,7 +271,7 @@ def decoder_bwd_chain_mega(cfg: ModelConfig, params: Dict[str, Any],
 
 
 def _bwd_mega_call(cfg: ModelConfig, fscal, mka_s, mkd_s,
-                   aa_s, ad_s, ca_s, cd_s, ca_prev_s, cd_prev_s,
+                   aa_s, ad_s, ca_s, cd_s,
                    attns, qsum_s, d_out_s, d_attn_out,
                    wi_a, wh_a, wi_d, wh_d, wq, wband, v3,
                    w_heads, memory):
@@ -273,6 +292,13 @@ def _bwd_mega_call(cfg: ModelConfig, fscal, mka_s, mkd_s,
     rrow = lambda shape: pl.BlockSpec(
         (1,) + shape, lambda g: (t_dec - 1 - g,) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
+    # previous-step row: t-1 on the reversed grid, clamped at t=0 (the
+    # kernel zero-masks that final step) — reads the SAME series array a
+    # second time instead of materializing a shifted copy
+    prow = lambda shape: pl.BlockSpec(
+        (1,) + shape,
+        lambda g: (jnp.maximum(t_dec - 2 - g, 0),) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(
         shape, lambda g: (0,) * len(shape), memory_space=pltpu.VMEM)
 
@@ -280,7 +306,7 @@ def _bwd_mega_call(cfg: ModelConfig, fscal, mka_s, mkd_s,
                              cfg.prenet_dim,
                              1.0 - cfg.p_attention_dropout,
                              1.0 - cfg.p_decoder_dropout)
-    (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_qsum_s, d_pq_s, dv_b,
+    (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_qsum_s, d_pq_s, dv_b, dpm_b,
      scal) = pl.pallas_call(
         kern,
         grid=(t_dec,),
@@ -289,7 +315,7 @@ def _bwd_mega_call(cfg: ModelConfig, fscal, mka_s, mkd_s,
             rrow((b, h)), rrow((b, h)),                   # dropout masks
             rrow((b, 4 * h)), rrow((b, 4 * h)),           # gate stacks
             rrow((b, h)), rrow((b, h)),                   # ca_t, cd_t
-            rrow((b, h)), rrow((b, h)),                   # ca_p, cd_p
+            prow((b, h)), prow((b, h)),                   # ca_{t-1}, cd_{t-1}
             rrow((b, t_enc)),                             # attn_t
             rrow((b, ta)),                                # th_t (cdt)
             rrow((b, cfg.n_mels + 1)),                    # d_out_t
@@ -310,6 +336,8 @@ def _bwd_mega_call(cfg: ModelConfig, fscal, mka_s, mkd_s,
             rrow((b, ta)), rrow((b, adim)),
             pl.BlockSpec((b, adim), lambda g: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, ta), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),        # d_pm accum
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
@@ -320,6 +348,7 @@ def _bwd_mega_call(cfg: ModelConfig, fscal, mka_s, mkd_s,
             jax.ShapeDtypeStruct((t_dec, b, ta), cdt),
             jax.ShapeDtypeStruct((t_dec, b, adim), f32),
             jax.ShapeDtypeStruct((b, adim), f32),
+            jax.ShapeDtypeStruct((b, ta), f32),
             jax.ShapeDtypeStruct((2,), f32),
         ],
         scratch_shapes=[
@@ -333,9 +362,9 @@ def _bwd_mega_call(cfg: ModelConfig, fscal, mka_s, mkd_s,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET),
         interpret=jax.default_backend() != "tpu",
-    )(fscal, mka_s, mkd_s, aa_s, ad_s, ca_s, cd_s, ca_prev_s, cd_prev_s,
+    )(fscal, mka_s, mkd_s, aa_s, ad_s, ca_s, cd_s, ca_s, cd_s,
       attns, qsum_s, d_out_s, d_attn_out,
       wi_a, wh_a, wi_d, wh_d, wq, wband, v3, w_heads,
       memory)
     return (g_att_s, g_dec_s, d_ctx_s, d_pre_s, d_qsum_s, d_pq_s,
-            dv_b, scal)
+            dv_b, dpm_b, scal)

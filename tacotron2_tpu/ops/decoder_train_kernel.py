@@ -77,6 +77,7 @@ def _vmem_estimate(cfg: ModelConfig, b: int, t_enc: int, bpw: int) -> int:
     # counted: B=128/T_enc=128 measures in under the budget)
     resident = b * (t_enc * cfg.encoder_embedding_dim * bpw  # memory
                     + ta * 4                                 # pm2 fp32
+                    + ta * 4            # bwd kernel's resident d_pm accum
                     + t_enc * 3 * 4)                         # mask/prev/cum
     stream = b * (cfg.prenet_dim + 2 * h) * bpw * 2 \
         + b * (4 * h * 4 + t_enc * 4) * 2 \
