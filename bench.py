@@ -42,6 +42,30 @@ def min_wall(fn, iters=3):
     return float(np.min(walls)), walls
 
 
+def link_probe(iters=5):
+    """Tunnel round-trip probe: median wall of (dispatch tiny-op + fetch)
+    for a 4-byte scalar and a 512*256-sample int16 buffer (the PCM payload
+    of the 512-frame bucket).  Makes a congested capture machine-detectable
+    (VERDICT r4 item 1) and gives the measured round-trip floor for
+    decomposing one-shot walls into device + transport + residual.  Fresh
+    result arrays each iter (jax caches ``_npy_value`` on fetched arrays,
+    so re-fetching the SAME array would measure a host memcpy)."""
+    import jax
+    import jax.numpy as jnp
+    small = jax.device_put(np.int32(1))
+    big = jax.device_put(np.zeros((512 * 256,), np.int16))
+    jax.block_until_ready((small, big))
+    t_small, t_big = [], []
+    for i in range(iters):
+        t0 = time.time()
+        np.asarray(small + jnp.int32(i))
+        t_small.append(time.time() - t0)
+        t0 = time.time()
+        np.asarray(big + jnp.int16(i % 3))
+        t_big.append(time.time() - t0)
+    return float(np.median(t_small)), float(np.median(t_big))
+
+
 def device_time(fn, module_substr, n=3):
     """Min device time of the XLA module matching ``module_substr`` over
     ``n`` traced calls of ``fn`` (profiler-derived: excludes tunnel
@@ -143,10 +167,13 @@ def main():
         f"(frames={n_frames}, wav={wav_shape})")
 
     # ---- batch 1 timed (fused single-dispatch program) ----
-    # min-of-N (see min_wall); the median rides in stderr.
+    # min-of-N (see min_wall); the median rides in the secondaries too
+    # (VERDICT r4 item 9: every headline-adjacent secondary carries a
+    # _median so round-over-round deltas stop inheriting link variance).
     wall, walls = min_wall(lambda: run_fused(1), iters=7)
     audio_sec = n_frames * acfg.hop_length / acfg.sampling_rate
     rtf1 = wall / audio_sec
+    rtf1_med = float(np.median(walls)) / audio_sec
     fps1 = n_frames / wall
     log(f"batch1 fused: wall {wall:.3f}s (median {np.median(walls):.3f}s) "
         f"for {audio_sec:.2f}s audio -> RTF {rtf1:.5f}, {fps1:.0f} frames/s")
@@ -168,20 +195,35 @@ def main():
 
     # ---- batch 16 timed ----
     n_frames16, _ = run_fused(16)  # warmup/compile for the batch-16 shapes
-    wall16, _ = min_wall(lambda: run_fused(16))
+    wall16, walls16 = min_wall(lambda: run_fused(16))
     fps16 = 16 * n_frames16 / wall16
-    rtf16 = wall16 / (16 * n_frames16 * acfg.hop_length / acfg.sampling_rate)
+    audio16 = 16 * n_frames16 * acfg.hop_length / acfg.sampling_rate
+    rtf16 = wall16 / audio16
     log(f"batch16 fused: wall {wall16:.3f}s -> per-stream RTF {rtf16:.5f}, "
         f"aggregate {fps16:.0f} frames/s")
 
-    secondary = {"rtf_batch16_gl_per_stream": round(rtf16, 6),
+    secondary = {"rtf_batch1_median": round(rtf1_med, 6),
+                 "rtf_batch16_gl_per_stream": round(rtf16, 6),
+                 "rtf_batch16_gl_per_stream_median": round(
+                     float(np.median(walls16)) / audio16, 6),
                  "frames_per_sec_batch16_gl": round(fps16)}
     secondary.update(secondary_device)
 
     # ---- optional: trained checkpoint, realistic gate-stop decode ----
+    # The one-shot trials are INTERLEAVED across the rest of the bench
+    # run in small bursts (VERDICT r4 item 1): a congestion window on the
+    # tunnel then inflates only the trials inside it, so min-of-all-trials
+    # recovers the healthy-link capability, and the link_probe() run with
+    # each burst makes a congested capture machine-detectable.
+    oneshot_samples = []   # (rtf, wall_s, audio_s, frames) per trial
+    probes = []            # (small_rt_s, pcm_rt_s) per burst
+    trained_burst = None
+    trained_dev_rtf = None
     if bench_ckpt:
         try:
             from tacotron2_tpu.infer import load_model
+            from tacotron2_tpu.infer.fused import (
+                estimate_frames, pick_bucket, synthesize_pcm_proportional)
             from tacotron2_tpu.text import texts_to_batch
             tparams, tstate0 = load_model(bench_ckpt, cfg)
 
@@ -212,41 +254,88 @@ def main():
             secondary["rtf_batch1_trained_gate_stop"] = round(rtf_t, 6)
             secondary["trained_gate_stop_frames"] = n_t
 
-            # Same trained gate stop through the length-proportional
-            # one-dispatch path — the REAL end-product latency: natural
-            # gate, bucket picked from the text, bucket-sized vocode +
-            # int16 PCM fetch.
-            from tacotron2_tpu.infer.fused import \
-                synthesize_pcm_proportional
+            # Candidate texts for the PROPORTIONAL one-dispatch path —
+            # the REAL end-product latency: natural gate, bucket picked
+            # from the text, bucket-sized vocode + int16 PCM fetch.
+            # Distinct texts defeat the runtime's execution dedupe; all
+            # must land in the SAME bucket so every trial runs the one
+            # compiled executable (no mid-trial recompiles).
+            cand = [
+                "The quick brown fox jumps over the lazy dog near the "
+                "river bank.",
+                "A silver morning wind carried whispers over the golden "
+                "meadow today.",
+                "Gentle voices traveled down the hollow valley before the "
+                "winter came.",
+                "Paper candles flickered in the window while the thunder "
+                "rolled onward.",
+                "Never wonder whether simple dreams can better every "
+                "golden morning.",
+                "Always travel lightly beneath the summer stars and the "
+                "silver stones.",
+            ]
+            prepped = []
+            for txt in cand:
+                tok, ln = texts_to_batch([txt], pad_to=96)
+                bkt = pick_bucket(estimate_frames(int(ln[0])), max_steps)
+                if bkt == 512:
+                    prepped.append((jnp.asarray(tok), jnp.asarray(ln)))
+            log(f"trained oneshot: {len(prepped)}/{len(cand)} candidate "
+                f"texts in the 512 bucket")
 
-            def trained_oneshot(text):
-                tokens, lengths = texts_to_batch([text], pad_to=96)
-                pcm, ends, bucket = synthesize_pcm_proportional(
-                    tparams, tstate0, cfg.model, acfg,
-                    jnp.asarray(tokens), jnp.asarray(lengths), None,
+            def oneshot_trial(i):
+                tok, ln = prepped[i % len(prepped)]
+                t0 = time.time()
+                _, ends, bkt = synthesize_pcm_proportional(
+                    tparams, tstate0, cfg.model, acfg, tok, ln, None,
                     max_steps=max_steps)
-                return int(ends[0]), bucket
+                w = time.time() - t0
+                n = max(int(ends[0]), 1)
+                return w, n * acfg.hop_length / acfg.sampling_rate, bkt, n
 
-            n_tp, bkt_tp = trained_oneshot(
-                "Warm the proportional program too.")  # compile
-            wall_tp, walls_tp = min_wall(lambda: trained_oneshot(
-                "The quick brown fox jumps over the lazy dog near the "
-                "river bank."), iters=5)
-            audio_tp = max(n_tp, 1) * acfg.hop_length / acfg.sampling_rate
-            n_tp2, bkt_tp2 = trained_oneshot(
-                "The quick brown fox jumps over the lazy dog near the "
-                "river bank.")
-            audio_tp2 = max(n_tp2, 1) * acfg.hop_length / acfg.sampling_rate
-            rtf_tp = wall_tp / audio_tp2
-            log(f"trained ckpt PROPORTIONAL: gate stopped at {n_tp2} "
-                f"frames in the {bkt_tp2}-frame bucket, wall {wall_tp:.4f}s "
-                f"(median {np.median(walls_tp):.4f}) -> RTF {rtf_tp:.5f}")
-            secondary["rtf_batch1_trained_gate_stop_oneshot"] = round(
-                rtf_tp, 6)
-            secondary["rtf_batch1_trained_gate_stop_oneshot_median"] = round(
-                float(np.median(walls_tp)) / audio_tp2, 6)
+            # compile + per-text warmup; drop any text whose gate misses
+            # the bucket (escalation would recompile mid-trial)
+            keep, frames_by_text = [], []
+            for i in range(len(prepped)):
+                _, a, bkt, n = oneshot_trial(i)
+                if bkt == 512:
+                    keep.append(prepped[i])
+                    frames_by_text.append(n)
+            prepped = keep or prepped
+            log(f"trained oneshot warm: {len(prepped)} texts kept, gate "
+                f"stops {frames_by_text}")
+            trial_counter = [0]
+
+            def trained_burst(k=3):
+                for _ in range(k):
+                    w, a, _, n = oneshot_trial(trial_counter[0])
+                    trial_counter[0] += 1
+                    oneshot_samples.append((w / a, w, a, n))
+                probes.append(link_probe())
+
+            trained_burst()   # burst 1 (early)
+
+            # Chip-only cost of the trained one-shot program (the
+            # headline workload had no device secondary before r5).
+            # Traced calls cycle distinct texts (dedupe); the min module
+            # time pairs with the shortest gate stop, so divide by the
+            # MIN audio among the traced texts — consistent pairing.
+            def traced_oneshot():
+                oneshot_trial(trial_counter[0])
+                trial_counter[0] += 1
+            dev_tp = device_time(traced_oneshot, "_synthesize_pcm_bucket",
+                                 n=3)
+            if dev_tp is not None and frames_by_text:
+                audio_min = (min(frames_by_text) * acfg.hop_length
+                             / acfg.sampling_rate)
+                trained_dev_rtf = dev_tp / audio_min
+                secondary["rtf_batch1_trained_gate_stop_oneshot_device"] \
+                    = round(trained_dev_rtf, 6)
+                log(f"trained oneshot DEVICE time {dev_tp:.4f}s -> device "
+                    f"RTF {trained_dev_rtf:.5f}")
         except Exception as e:
             log(f"trained-checkpoint bench skipped: {e}")
+            trained_burst = None
 
     # ---- fused Tacotron2 + HiFi-GAN (the reference's primary vocoder
     # path, inference.py:40-54, as ONE XLA program).  Random generator
@@ -263,17 +352,25 @@ def main():
         return int(n)
 
     n_hf = run_hifigan(1)  # compile
-    wall_hf, _ = min_wall(lambda: run_hifigan(1))
-    rtf_hf1 = wall_hf / (n_hf * acfg.hop_length / acfg.sampling_rate)
+    wall_hf, walls_hf = min_wall(lambda: run_hifigan(1))
+    audio_hf = n_hf * acfg.hop_length / acfg.sampling_rate
+    rtf_hf1 = wall_hf / audio_hf
     log(f"batch1 fused hifigan: wall {wall_hf:.3f}s -> RTF {rtf_hf1:.5f}")
     n_hf16 = run_hifigan(16)  # compile
-    wall_hf16, _ = min_wall(lambda: run_hifigan(16))
-    rtf_hf16 = wall_hf16 / (16 * n_hf16 * acfg.hop_length
-                            / acfg.sampling_rate)
+    wall_hf16, walls_hf16 = min_wall(lambda: run_hifigan(16))
+    audio_hf16 = 16 * n_hf16 * acfg.hop_length / acfg.sampling_rate
+    rtf_hf16 = wall_hf16 / audio_hf16
     log(f"batch16 fused hifigan: wall {wall_hf16:.3f}s -> per-stream RTF "
         f"{rtf_hf16:.5f}, aggregate {16 * n_hf16 / wall_hf16:.0f} frames/s")
     secondary["rtf_batch1_hifigan"] = round(rtf_hf1, 6)
+    secondary["rtf_batch1_hifigan_median"] = round(
+        float(np.median(walls_hf)) / audio_hf, 6)
     secondary["rtf_batch16_hifigan_per_stream"] = round(rtf_hf16, 6)
+    secondary["rtf_batch16_hifigan_per_stream_median"] = round(
+        float(np.median(walls_hf16)) / audio_hf16, 6)
+
+    if trained_burst:
+        trained_burst()   # burst 2 (after the hifigan section)
 
     # ---- max serving throughput: bf16-cast generator at large batch (the
     # fp32 generator's activations exceed HBM past batch ~32; the bf16
@@ -292,12 +389,14 @@ def main():
 
     b_big = 128
     n_big = run_hifigan_big(b_big)  # compile
-    wall_big, _ = min_wall(lambda: run_hifigan_big(b_big))
+    wall_big, walls_big = min_wall(lambda: run_hifigan_big(b_big))
     fps_big = b_big * n_big / wall_big
     log(f"batch{b_big} fused hifigan bf16: wall {wall_big:.3f}s -> "
         f"aggregate {fps_big:.0f} frames/s "
         f"({fps_big * acfg.hop_length / acfg.sampling_rate:.0f}x realtime)")
     secondary[f"frames_per_sec_batch{b_big}_hifigan_bf16"] = round(fps_big)
+    secondary[f"frames_per_sec_batch{b_big}_hifigan_bf16_median"] = round(
+        b_big * n_big / float(np.median(walls_big)))
 
     # ---- training-step throughput (bf16 mixed-precision policy) ----
     from tacotron2_tpu.train import (create_train_state, make_optimizer,
@@ -352,7 +451,12 @@ def main():
         f"{cfg.train.precision}): {step_sec:.3f}s/step = "
         f"{train_fps:.0f} mel-frames/s (loss {float(losses.total):.3f})")
     secondary["train_step_sec_b16"] = round(step_sec, 4)
+    secondary["train_step_sec_b16_median"] = round(
+        float(np.median(walls)), 4)
     secondary["train_frames_per_sec_b16"] = round(train_fps)
+
+    if trained_burst:
+        trained_burst()   # burst 3 (after the train-step section)
 
     # DEVICE train-step time (same rationale as rtf_batch1_device).
     # Methodology note (r3 ADVICE): the traced steps reuse ONE staged
@@ -492,6 +596,9 @@ def main():
     except Exception as e:
         log(f"early-stop decode bench skipped: {e}")
 
+    if trained_burst:
+        trained_burst()   # burst 4 (after the early-stop section)
+
     # ---- preprocess (device mel-extraction) throughput ----
     from tacotron2_tpu.dsp.mel import batched_log_mel_with_lengths
     b_pp = 16
@@ -536,6 +643,48 @@ def main():
             audio_sec_pp / dev_pp)
         log(f"preprocess DEVICE time {dev_pp:.4f}s = "
             f"{audio_sec_pp / dev_pp:.0f}x real-time on-chip")
+
+    # ---- trained one-shot: final interleaved-trial statistics ----
+    if trained_burst:
+        trained_burst()   # burst 5 (late)
+    if oneshot_samples:
+        rtfs = [s[0] for s in oneshot_samples]
+        i_best = int(np.argmin(rtfs))
+        best_rtf, best_wall, best_audio, best_n = oneshot_samples[i_best]
+        med_rtf = float(np.median(rtfs))
+        secondary["rtf_batch1_trained_gate_stop_oneshot"] = round(
+            best_rtf, 6)
+        secondary["rtf_batch1_trained_gate_stop_oneshot_median"] = round(
+            med_rtf, 6)
+        secondary["trained_oneshot_trials"] = len(rtfs)
+        log(f"trained oneshot over {len(rtfs)} interleaved trials: best "
+            f"RTF {best_rtf:.5f} (wall {best_wall:.4f}s, {best_n} frames,"
+            f" {best_audio:.2f}s audio), median {med_rtf:.5f}")
+        if probes:
+            small_ms = [p[0] * 1e3 for p in probes]
+            pcm_ms = [p[1] * 1e3 for p in probes]
+            secondary["tunnel_rt_small_ms"] = round(min(small_ms), 2)
+            secondary["tunnel_rt_small_ms_median"] = round(
+                float(np.median(small_ms)), 2)
+            secondary["tunnel_rt_pcm_ms"] = round(min(pcm_ms), 2)
+            secondary["tunnel_rt_pcm_ms_median"] = round(
+                float(np.median(pcm_ms)), 2)
+            log(f"link probe: 4-byte round trip {min(small_ms):.1f} ms min"
+                f" / {np.median(small_ms):.1f} ms median; 262 KB PCM-sized"
+                f" {min(pcm_ms):.1f} ms min / {np.median(pcm_ms):.1f} ms "
+                f"median (over {len(probes)} probes)")
+            if trained_dev_rtf is not None:
+                # Decompose the best trial's wall: device work (profiler)
+                # + PCM-sized round trip (probe) + residual.  A healthy
+                # capture leaves ~0 residual (VERDICT r4 item 1).
+                dev_ms = trained_dev_rtf * best_audio * 1e3
+                resid_ms = best_wall * 1e3 - dev_ms - min(pcm_ms)
+                secondary["trained_oneshot_residual_ms"] = round(
+                    resid_ms, 2)
+                log(f"trained oneshot decomposition: wall "
+                    f"{best_wall * 1e3:.1f} ms = device {dev_ms:.1f} ms "
+                    f"+ round trip {min(pcm_ms):.1f} ms + residual "
+                    f"{resid_ms:.1f} ms")
 
     print(json.dumps({
         "metric": "synthesis_rtf_batch1",

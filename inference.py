@@ -96,10 +96,14 @@ def main():
                                          synthesize_longform)
         cfg = _make_cfg(args)
         params, model_state = load_model(args.checkpoint, cfg)
-        from tacotron2_tpu.infer.vocode import try_load_hifigan
-        vocode = try_load_hifigan() if args.vocoder == "hifigan" else None
+        # HiFi-GAN rides the fused one-dispatch program as raw params
+        # (longform.py) — not as an external vocoder callable, which
+        # would force the legacy modular path.
+        from tacotron2_tpu.infer.vocode import try_load_hifigan_params
+        hp = (try_load_hifigan_params() if args.vocoder == "hifigan"
+              else None)
         wav, mels = synthesize_longform(
-            params, model_state, text, cfg, vocoder=vocode,
+            params, model_state, text, cfg, hifigan_params=hp,
             griffinlim_iters=args.griffinlim_iters,
             speaker_id=args.speaker_id)
         out_path = next_output_path(args.output_dir)

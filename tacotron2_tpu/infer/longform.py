@@ -48,19 +48,29 @@ def synthesize_longform(params, model_state, text: str,
                         token_buckets: Sequence[int] = (32, 64, 128, 256),
                         vocoder=None,
                         griffinlim_iters: int = 60,
-                        speaker_id: Optional[int] = None
+                        speaker_id: Optional[int] = None,
+                        hifigan_params=None
                         ) -> Tuple[np.ndarray, List[np.ndarray]]:
     """Paragraph -> (waveform, per-sentence mels).
 
-    ``vocoder``: optional callable (B, n_mels, T) -> (B, samples); default
-    Griffin-Lim per sentence.
+    Default path (r5, VERDICT r4 item 6): each token-bucket group rides
+    the length-proportional ONE-DISPATCH program (infer/fused.py::
+    synthesize_pcm_proportional) — batched sentence decode capped at the
+    text-predicted mel bucket, bucket-length vocode (Griffin-Lim or the
+    fused HiFi-GAN when ``hifigan_params`` is given), and int16 PCM +
+    frame_ends + mels fetched in ONE tunnel round trip per group — so a
+    paragraph pays one dispatch per token bucket instead of a decode
+    dispatch plus per-sentence vocode/fetch rounds.
+
+    ``vocoder``: optional callable (B, n_mels, T) -> (B, samples) — an
+    EXTERNAL vocoder; passing one takes the legacy modular path (decode,
+    fetch mels, vocode per sentence on the caller's terms).
     """
     cfg = cfg or Config()
     max_steps = max_steps_per_sentence or cfg.model.max_decoder_steps
     sentences = split_sentences(text)
     if not sentences:
         return np.zeros(0, np.float32), []
-
 
     seqs = []
     max_bucket = token_buckets[-1]
@@ -82,6 +92,40 @@ def synthesize_longform(params, model_state, text: str,
         groups.setdefault(_bucket_len(len(s), token_buckets), []).append(i)
 
     mels: List[Optional[np.ndarray]] = [None] * len(seqs)
+    silence = np.zeros(int(cfg.audio.sampling_rate * silence_ms / 1000.0),
+                       np.float32)
+    hop = cfg.audio.hop_length
+
+    if vocoder is None:
+        # One-dispatch proportional path: one bucket program per token
+        # group, PCM + frame_ends + mels in a single fetch round.
+        from .fused import synthesize_pcm_proportional
+        wavs: List[Optional[np.ndarray]] = [None] * len(seqs)
+        for bucket, idxs in sorted(groups.items()):
+            chunk_seqs = [seqs[i] for i in idxs]
+            tokens, lengths = pad_sequences(chunk_seqs, pad_to=bucket)
+            speaker_ids = make_speaker_ids(speaker_id, len(idxs), cfg.model)
+            pcm, ends, _, mel = synthesize_pcm_proportional(
+                params, model_state, cfg.model, cfg.audio,
+                jnp.asarray(tokens), jnp.asarray(lengths), speaker_ids,
+                max_steps=max_steps, gate_threshold=gate_threshold,
+                stop_mode="all", gl_iters=griffinlim_iters,
+                hifigan_params=hifigan_params, return_mel=True)
+            for row, i in enumerate(idxs):
+                n = int(ends[row])
+                mels[i] = np.asarray(mel[row, :n])          # (n, n_mels)
+                wavs[i] = (pcm[row, : n * hop]
+                           .astype(np.float32) / 32767.0)
+        pieces: List[np.ndarray] = []
+        for i, wav in enumerate(wavs):
+            pieces.append(wav if wav is not None
+                          else np.zeros(0, np.float32))
+            if i < len(wavs) - 1:
+                pieces.append(silence)
+        return np.concatenate(pieces), [m for m in mels if m is not None]
+
+    # Legacy modular path: decode per bucket, fetch mels, run the
+    # caller's external vocoder per sentence.
     for bucket, idxs in sorted(groups.items()):
         chunk_seqs = [seqs[i] for i in idxs]
         tokens, lengths = pad_sequences(chunk_seqs, pad_to=bucket)
@@ -99,9 +143,7 @@ def synthesize_longform(params, model_state, text: str,
             mels[i] = mel_post[row, :int(ends[row])]
 
     # Vocode + concatenate with inter-sentence silence.
-    silence = np.zeros(int(cfg.audio.sampling_rate * silence_ms / 1000.0),
-                       np.float32)
-    pieces: List[np.ndarray] = []
+    pieces = []
     for i, mel in enumerate(mels):
         wav = vocode_mel(mel, cfg.audio, vocoder=vocoder,
                          griffinlim_iters=griffinlim_iters)

@@ -413,7 +413,8 @@ def _bptt_weight_grads(cfg, params, prenet_tbd, memory, pm, mask,
     Shifted operand series are never materialized: the t-1-input
     contractions drop the zero t=0 term and contract SLICES
     (``dw(x_s[:-1], g_s[1:])``) — identical terms, and the (T, B, ·)
-    shift-concat copies (~0.5 GB of HBM write+read at B=128) vanish.
+    shift-concat copies (~0.6 GB of HBM write+read at B=128: five
+    (T, B, .) bf16 series) vanish.
     Concatenated inputs ([prenet|ctx_prev], [ha|ctx], [hd|ctx])
     likewise contract per part and concatenate the small (in, out)
     RESULTS instead of the big (T, B, in) operands."""

@@ -40,8 +40,9 @@ accumulators, the same principle as the split backward itself):
 
   The previous-step cell states are NOT materialized as shifted copies:
   ``ca_s``/``cd_s`` are passed twice with a t-1 block index map
-  (clamped at t=0 and zero-masked in-kernel), saving the ~0.5 GB
-  shift-concat write+read per step the old ``shift()`` paid.
+  (clamped at t=0 and zero-masked in-kernel), saving the ~0.6 GB
+  shift-concat write+read at B=128 the old ``shift()`` paid (five
+  (T, B, .) bf16 series — the same quantity BASELINE.md reports).
 
 Numerics: the hand-derived softmax/tanh/linear chains mirror
 `_bptt_bwd`'s `jax.vjp` over `_attn_probs` (same dtype policy: compute-

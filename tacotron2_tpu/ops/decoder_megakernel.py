@@ -132,7 +132,32 @@ def megakernel_enabled(cfg: ModelConfig, b: int = 1, t_enc: int = 128,
     # 8-sublane tile) so a batch near the boundary falls back to the
     # while_loop instead of tripping the Mosaic VMEM limit.
     b = max(8, -(-b // 8) * 8)
-    return _vmem_estimate(cfg, b, t_enc, bytes_per_weight) < _VMEM_BUDGET
+    if _vmem_estimate(cfg, b, t_enc, bytes_per_weight) < _VMEM_BUDGET:
+        return True
+    _warn_vmem_falloff(b, t_enc, bytes_per_weight,
+                       _vmem_estimate(cfg, b, t_enc, 2) < _VMEM_BUDGET)
+    return False
+
+
+@functools.lru_cache(maxsize=64)
+def _warn_vmem_falloff(b_padded: int, t_enc: int, bytes_per_weight: int,
+                       bf16_would_fit: bool) -> None:
+    """One-line warning when the VMEM gate silently falls a decode off
+    the megakernel onto the ~2.5x-slower while_loop program (VERDICT r4
+    item 7: fp32 weights at B>16 took the fallback with no signal).
+    lru_cache dedupes per (padded-batch, t_enc, dtype) config; fires at
+    trace time, i.e. once per compiled program."""
+    import logging
+    alt = ("; casting params to bf16 (models.tacotron2.cast_params_bf16) "
+           "re-engages the megakernel at this batch"
+           if bf16_would_fit and bytes_per_weight == 4 else "")
+    logging.getLogger("tacotron2_tpu").warning(
+        "decoder megakernel VMEM gate: padded batch %d x t_enc %d with "
+        "%d-byte weights exceeds the %d MiB budget -> decode runs the "
+        "while_loop program (batch-amortized but ~2.5x slower per step "
+        "at large B; see BASELINE.md engage-window table)%s",
+        b_padded, t_enc, bytes_per_weight, _VMEM_BUDGET // (1024 * 1024),
+        alt)
 
 
 def _kernel(drop_first: bool, stop_mode: str, max_steps: int, n_mels: int,

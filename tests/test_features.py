@@ -48,6 +48,48 @@ class TestLongform:
         piece_samples = sum(m.shape[0] * 256 for m in mels)
         assert wav.size >= piece_samples
 
+    def test_oneshot_concatenation_exact(self):
+        """r5 (VERDICT r4 item 6): the default longform path rides the
+        one-dispatch proportional program per token bucket; the output
+        waveform must be EXACTLY the per-sentence PCM pieces (trimmed at
+        each sentence's own gate stop) joined by the fixed silences —
+        byte-identical to invoking the bucket program directly."""
+        from tacotron2_tpu.infer.fused import synthesize_pcm_proportional
+        from tacotron2_tpu.text import pad_sequences, text_to_sequence
+
+        params, state = tacotron2_init(jax.random.PRNGKey(0), SMALL.model)
+        text = "Alpha beta gamma. Delta epsilon! A zeta eta theta now;"
+        silence_ms = 80.0
+        wav, mels = synthesize_longform(
+            params, state, text, SMALL, max_steps_per_sentence=12,
+            griffinlim_iters=3, silence_ms=silence_ms)
+
+        # Reference assembly: same grouping logic (all three sentences
+        # land in the 32-token bucket), one direct program call.
+        sentences = split_sentences(text)
+        seqs = [text_to_sequence(s) or [0] for s in sentences]
+        bucket = 32
+        assert all(len(s) <= bucket for s in seqs)
+        tokens, lengths = pad_sequences(seqs, pad_to=bucket)
+        pcm, ends, _, mel = synthesize_pcm_proportional(
+            params, state, SMALL.model, SMALL.audio,
+            jnp.asarray(tokens), jnp.asarray(lengths), None,
+            max_steps=12, stop_mode="all", gl_iters=3, return_mel=True)
+        hop = SMALL.audio.hop_length
+        sil = np.zeros(int(SMALL.audio.sampling_rate * silence_ms / 1000.0),
+                       np.float32)
+        pieces = []
+        for row in range(len(seqs)):
+            n = int(ends[row])
+            pieces.append(pcm[row, : n * hop].astype(np.float32) / 32767.0)
+            if row < len(seqs) - 1:
+                pieces.append(sil)
+        expect = np.concatenate(pieces)
+        assert wav.shape == expect.shape
+        np.testing.assert_array_equal(wav, expect)
+        # per-sentence mels trim at the same gate stops
+        assert [m.shape[0] for m in mels] == [int(e) for e in ends]
+
 
 class TestMultiSpeaker:
     def test_speaker_conditioning_changes_output(self):

@@ -116,6 +116,31 @@ class TestEnabledGating:
         monkeypatch.delenv("TACOTRON2_MEGA_DECODER")
         assert not megakernel_enabled(off, b=1)
 
+    def test_vmem_falloff_warns(self, monkeypatch, caplog):
+        """r5 (VERDICT r4 item 7): when the VMEM gate rejects a config
+        (fp32 weights past B=16 at reference dims) the fall-off to the
+        ~2.5x-slower while_loop program must be LOGGED, naming the bf16
+        alternative that would re-engage the kernel."""
+        import logging
+
+        from tacotron2_tpu.config import ModelConfig as MC
+        from tacotron2_tpu.ops import decoder_megakernel as mk
+        monkeypatch.setattr(mk.jax, "default_backend", lambda: "tpu")
+        mk._warn_vmem_falloff.cache_clear()
+        full = MC()   # reference dims: fp32 engages only through B=16
+        with caplog.at_level(logging.WARNING, logger="tacotron2_tpu"):
+            assert not mk.megakernel_enabled(full, b=64,
+                                             bytes_per_weight=4,
+                                             stop_mode="all")
+        assert any("while_loop" in r.message and "bf16" in r.message
+                   for r in caplog.records), caplog.records
+        # bf16 weights at the same batch DO fit -> no new warning
+        caplog.clear()
+        with caplog.at_level(logging.WARNING, logger="tacotron2_tpu"):
+            assert mk.megakernel_enabled(full, b=64, bytes_per_weight=2,
+                                         stop_mode="all")
+        assert not caplog.records
+
 
 class TestBatchedMiddle:
     """r4: the banded-matmul attention middle batches the kernel to

@@ -240,6 +240,11 @@ def main():
     ap.add_argument("--order", type=int, default=6)
     ap.add_argument("--em-iters", type=int, default=8)
     ap.add_argument("--min-context-count", type=int, default=2)
+    ap.add_argument("--prune-from-order", type=int, default=4,
+                    help="orders >= this drop contexts below "
+                         "--min-context-count (higher keeps more of the "
+                         "long-context mass the decoder backs off to; "
+                         "the r5 order-8 model uses 6)")
     ap.add_argument("--cands-per-letter", type=int, default=24)
     ap.add_argument("--eval", type=int, default=2000,
                     help="quick holdout eval size after training")
@@ -290,7 +295,7 @@ def main():
 
     t0 = time.time()
     grams = count_ngrams(sequences, a.order, bos_id=0, eos_id=1)
-    grams = prune_ngrams(grams, a.min_context_count)
+    grams = prune_ngrams(grams, a.min_context_count, a.prune_from_order)
     sizes = [sum(len(t) for t in g.values()) for g in grams]
     print(f"n-gram counts done in {time.time() - t0:.0f}s; entries/order: "
           f"{sizes}", flush=True)
