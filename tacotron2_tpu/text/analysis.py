@@ -88,7 +88,7 @@ def _material_variants(variants: List[Tuple[str, ...]]) -> bool:
 _WEAK_FORMS = frozenset(
     "the a an and or to of for at on in into with as than then them that "
     "this these those was were is are be been being have has had do does "
-    "did will would shall should can could may might must am but if when "
+    "did will would shall should can could may might must am but if when us "
     "what which who whom because from by about just your our their his her "
     "its my you we they he she it i not no nor so such per via upon".split())
 
@@ -104,7 +104,8 @@ def heteronym_audit(texts: Iterable[str], top_n: int = 40) -> Dict:
     does not know.  The miss list is a curation queue, not an error
     count — many multi-variant CMUdict words are free variation, not
     POS-driven heteronyms."""
-    from .homographs import HOMOGRAPHS, TENSE_HETERONYMS
+    from .homographs import (CURATED_SINGLE_READING, HOMOGRAPHS,
+                             PREFERRED_READINGS, TENSE_HETERONYMS)
     from .lexicon import find_lexicon_path, parse_cmudict_variants
 
     variants = parse_cmudict_variants(find_lexicon_path())
@@ -113,10 +114,16 @@ def heteronym_audit(texts: Iterable[str], top_n: int = 40) -> Dict:
         token_counts.update(normalize_text(text).split())
 
     covered = Counter()
+    curated = Counter()
     misses = Counter()
     for word, count in token_counts.items():
-        if word in HOMOGRAPHS or word in TENSE_HETERONYMS:
+        if (word in HOMOGRAPHS or word in TENSE_HETERONYMS
+                or word in PREFERRED_READINGS):
             covered[word] += count
+        elif word in CURATED_SINGLE_READING:
+            # audited: variants are free variation, first-variant lookup
+            # is the right reading (homographs.py::CURATED_SINGLE_READING)
+            curated[word] += count
         elif word not in _WEAK_FORMS \
                 and len(variants.get(word, ())) >= 2 \
                 and _material_variants(variants[word]):
@@ -128,6 +135,7 @@ def heteronym_audit(texts: Iterable[str], top_n: int = 40) -> Dict:
         "total_tokens": total,
         "covered_tokens": sum(covered.values()),
         "covered_words": dict(covered.most_common()),
+        "curated_single_reading_tokens": sum(curated.values()),
         "candidate_miss_tokens": n_miss,
         "candidate_miss_rate": (n_miss / total) if total else 0.0,
         "top_candidate_misses": [

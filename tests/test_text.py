@@ -497,6 +497,36 @@ class TestHomographsR4Expansion:
         assert rep["total_tokens"] > 0
         assert 0.0 <= rep["candidate_miss_rate"] <= 1.0
 
+    def test_r5_queue_burndown(self):
+        """r5 (VERDICT r4 item 4): the top-100-by-frequency curation
+        queue is burned down — stress heteronyms became table entries,
+        context-free overrides cover prefix/initialism fragments, and
+        audited free-variation words count as curated coverage instead
+        of candidate misses."""
+        from tacotron2_tpu.text.analysis import heteronym_audit
+        from tacotron2_tpu.text.homographs import (CURATED_SINGLE_READING,
+                                                   disambiguate)
+
+        def t(s):
+            return tuple(s.split())
+
+        # new stress-heteronym entries
+        assert disambiguate("update", "will") == t("AH0 P D EY1 T")
+        assert disambiguate("update", "the") == t("AH1 P D EY2 T")
+        assert disambiguate("resume", "to") == t("R IH0 Z UW1 M")
+        assert disambiguate("resume", "her") == t("R EH1 Z AH0 M EY2")
+        # context-free preferred readings (split-hyphen prefix, initialism)
+        assert disambiguate("re") == t("R IY1")
+        assert disambiguate("pos") == t("P IY1 OW1 EH1 S")
+        # curated words leave the miss queue and count as curated tokens
+        assert {"hundred", "data", "process", "cache"} \
+            <= CURATED_SINGLE_READING
+        rep = heteronym_audit(
+            ["one hundred twenty seven epochs of data without a resume"])
+        assert rep["curated_single_reading_tokens"] >= 4
+        assert all(m["word"] not in CURATED_SINGLE_READING
+                   for m in rep["top_candidate_misses"])
+
     def test_materiality_filter_and_weak_forms(self):
         """The curation queue must keep true reading differences and drop
         free variation: unstressed-vowel presence/quality collapses (the
