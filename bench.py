@@ -208,6 +208,13 @@ def main():
                      float(np.median(walls16)) / audio16, 6),
                  "frames_per_sec_batch16_gl": round(fps16)}
     secondary.update(secondary_device)
+    # Which decode program is live for the headline workload (VERDICT r4
+    # item 7): the megakernel where the VMEM gate admits it, else the
+    # while_loop fallback.
+    from tacotron2_tpu.ops.decoder_megakernel import megakernel_enabled
+    secondary["decode_program_b1"] = (
+        "megakernel" if megakernel_enabled(cfg.model, b=1)
+        else "while_loop")
 
     # ---- optional: trained checkpoint, realistic gate-stop decode ----
     # The one-shot trials are INTERLEAVED across the rest of the bench
@@ -274,14 +281,17 @@ def main():
                 "Always travel lightly beneath the summer stars and the "
                 "silver stones.",
             ]
-            prepped = []
+            by_bucket = {}
             for txt in cand:
                 tok, ln = texts_to_batch([txt], pad_to=96)
                 bkt = pick_bucket(estimate_frames(int(ln[0])), max_steps)
-                if bkt == 512:
-                    prepped.append((jnp.asarray(tok), jnp.asarray(ln)))
+                by_bucket.setdefault(bkt, []).append(
+                    (jnp.asarray(tok), jnp.asarray(ln)))
+            # majority bucket (512 at these text lengths); one executable
+            trial_bucket = max(by_bucket, key=lambda b: len(by_bucket[b]))
+            prepped = by_bucket[trial_bucket]
             log(f"trained oneshot: {len(prepped)}/{len(cand)} candidate "
-                f"texts in the 512 bucket")
+                f"texts in the {trial_bucket} bucket")
 
             def oneshot_trial(i):
                 tok, ln = prepped[i % len(prepped)]
@@ -298,7 +308,7 @@ def main():
             keep, frames_by_text = [], []
             for i in range(len(prepped)):
                 _, a, bkt, n = oneshot_trial(i)
-                if bkt == 512:
+                if bkt == trial_bucket:
                     keep.append(prepped[i])
                     frames_by_text.append(n)
             prepped = keep or prepped

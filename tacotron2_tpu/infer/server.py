@@ -94,6 +94,19 @@ class TTSService:
         self._lock = threading.Lock()
         self._hifigan_vocoder = None
         self._requests = 0
+        self._announce_decode_program(b=1, stop_mode="any")
+
+    def _announce_decode_program(self, b: int, stop_mode: str) -> None:
+        """One startup line naming the decode program that will engage at
+        batch ``b`` (VERDICT r4 item 7: a VMEM-gated fall-off to the
+        while_loop was silent).  megakernel_enabled itself logs the
+        warning naming the bf16 alternative when the VMEM gate rejects."""
+        from ..ops.decoder_megakernel import megakernel_enabled
+        prog = ("megakernel" if megakernel_enabled(
+            self.cfg.model, b=b, bytes_per_weight=2 if self._bf16 else 4,
+            stop_mode=stop_mode) else "while_loop")
+        print(f"[serve] decode program at batch {b} "
+              f"({'bf16' if self._bf16 else 'fp32'} weights): {prog}")
 
     def _hifigan(self):
         if self._hifigan_vocoder is None:
@@ -327,6 +340,8 @@ class BatchingTTSService(TTSService):
                              f"{request_timeout_s}")
         self.max_batch = max_batch
         self.batch_window_s = batch_window_ms / 1000.0
+        if max_batch > 1:   # full batches decode stop_mode="all"
+            self._announce_decode_program(b=max_batch, stop_mode="all")
         # Backpressure: at most max_queue requests wait for the worker;
         # beyond that, synthesize() sheds with ServiceOverloadedError
         # (503) instead of growing the queue (and client timeouts)
