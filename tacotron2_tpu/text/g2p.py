@@ -624,13 +624,26 @@ class G2p:
         self._lexicon = lexicon if lexicon is not None else load_lexicon(lexicon_path)
         self._homographs = homographs
         self._lts_model = None
+        self._lts_neural = None
         if lts_model:
             from .lts_model import load_default_model
             self._lts_model = load_default_model()
+            from .lts_neural import load_default_model as _load_neural
+            self._lts_neural = _load_neural()
 
     def _model_lts(self, word: str) -> Optional[Tuple[str, ...]]:
-        if self._lts_model is None or not word.isalpha() \
-                or not word.isascii():
+        if not word.isalpha() or not word.isascii():
+            return None
+        # The TPU-trained neural seq2seq (lts_neural.py) outranks the
+        # graphone n-gram when its artifact is shipped; both honor the
+        # same CMUdict holdout split.  Words the neural model cannot
+        # encode (beyond its length cap) fall through to the n-gram.
+        if self._lts_neural is not None:
+            phones = self._lts_neural.pronounce(word)
+            if phones:
+                from .lts_model import _ensure_primary_stress
+                return tuple(_ensure_primary_stress(list(phones)))
+        if self._lts_model is None:
             return None
         phones = self._lts_model.pronounce(word)
         return tuple(phones) if phones else None

@@ -203,9 +203,14 @@ class TestG2pHeldOutAccuracy:
     text/lts_model.py), ordered before compound splitting: **67.25% /
     8.36% at n=8000** (stress-blind; 61.38% with stress), scored ONLY
     on the model's own 10% CMUdict training holdout so no evaluated
-    word was n-gram training data.  Floors sit below the measured
-    values so normal lexicon drift doesn't flake, but any regression
-    toward the rule-only LTS trips them."""
+    word was n-gram training data.  r5 changed the DECODER, not the
+    counts: Kneser-Ney-style absolute discounting (D=0.9) replaced the
+    Witten-Bell recursion and the default beam widened 12->24 —
+    measured **72.1% / 6.4% at n=1000 seed 0** (r4 recursion on the
+    same sample: 67.8% with the wide beam, 67.05% at r4 defaults) and
+    69.8% / 7.6% on this test's exact sample (seed 1, n=600).  Floors
+    sit below the measured values so normal lexicon drift doesn't
+    flake, but any regression toward the rule-only LTS trips them."""
 
     def test_heldout_floors(self):
         import os
@@ -213,9 +218,9 @@ class TestG2pHeldOutAccuracy:
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         from tools.eval_g2p import evaluate
         stats, _ = evaluate(n=600, seed=1, n_misses=0)
-        # measured 67.5% / 8.2% on this exact sample (seed 1, n=600)
-        assert stats["word_acc"] > 0.58, stats
-        assert stats["per"] < 0.11, stats
+        # measured 69.83% / 7.64% on this exact sample (seed 1, n=600)
+        assert stats["word_acc"] > 0.64, stats
+        assert stats["per"] < 0.10, stats
         # morphology stage stays strong
         st = stats["by_stage"].get("morphology", {"n": 0, "word_ok": 0})
         if st["n"] >= 20:

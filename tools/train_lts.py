@@ -136,6 +136,65 @@ def em_align(pairs, iters: int = 8, floor: float = 1e-12):
     return probs
 
 
+def viterbi_align_bigram(word: str, phones: Sequence[str], probs,
+                         bigram_counts, unigram_counts, n_types: int
+                         ) -> List[Tuple[str, Tuple[str, ...]]] | None:
+    """Viterbi under a BIGRAM graphone model (r5): one Sequitur-style
+    alignment iteration — the unigram-EM alignment trains a bigram model
+    over its own Viterbi output, and this pass realigns each word under
+    that bigram (Witten-Bell smoothed against the unigram), which
+    resolves chunking ambiguities the context-free model cannot (e.g.
+    whether 'x'->K S attaches the S to the next letter).  States are
+    (i, j, incoming graphone); each (i, j) admits at most
+    MAX_PHONES_PER_LETTER+1 incoming graphones, so the DP stays linear.
+    """
+    L, P = len(word), len(phones)
+    total_uni = max(sum(unigram_counts.values()), 1)
+
+    def p_uni(g):
+        return ((unigram_counts.get(g, 0) + n_types / total_uni)
+                / (total_uni + n_types))
+
+    def p_big(g_prev, g):
+        row = bigram_counts.get(g_prev)
+        if not row:
+            return p_uni(g)
+        tot = sum(row.values())
+        typ = len(row)
+        return (row.get(g, 0) + typ * p_uni(g)) / (tot + typ)
+
+    # dp[(i, j)][g_in] = (score, backpointer (k, g_prev))
+    dp: Dict[Tuple[int, int], Dict] = {(0, 0): {None: (0.0, None)}}
+    for i in range(L):
+        for j in range(P + 1):
+            cell = dp.get((i, j))
+            if not cell:
+                continue
+            for k, g in _arcs(word, phones, i, j):
+                if probs[g] <= 0.0 and g not in unigram_counts:
+                    continue
+                best_s, best_prev = -np.inf, None
+                for g_prev, (s, _) in cell.items():
+                    s2 = s + np.log(max(p_big(g_prev, g), 1e-30))
+                    if s2 > best_s:
+                        best_s, best_prev = s2, g_prev
+                nxt = dp.setdefault((i + 1, j + k), {})
+                if g not in nxt or best_s > nxt[g][0]:
+                    nxt[g] = (best_s, (k, best_prev))
+    end = dp.get((L, P))
+    if not end:
+        return None
+    # trace back the best final state
+    g = max(end, key=lambda g_: end[g_][0])
+    seq = []
+    i, j = L, P
+    while i > 0:
+        s, (k, g_prev) = dp[(i, j)][g]
+        seq.append(g)
+        i, j, g = i - 1, j - k, g_prev
+    return seq[::-1]
+
+
 def viterbi_align(word: str, phones: Sequence[str], probs
                   ) -> List[Tuple[str, Tuple[str, ...]]] | None:
     L, P = len(word), len(phones)
@@ -240,6 +299,10 @@ def main():
     ap.add_argument("--order", type=int, default=6)
     ap.add_argument("--em-iters", type=int, default=8)
     ap.add_argument("--min-context-count", type=int, default=2)
+    ap.add_argument("--realign", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="second-stage bigram Viterbi realignment "
+                         "(Sequitur-style; r5)")
     ap.add_argument("--prune-from-order", type=int, default=4,
                     help="orders >= this drop contexts below "
                          "--min-context-count (higher keeps more of the "
@@ -264,16 +327,46 @@ def main():
     print(f"EM done in {time.time() - t0:.0f}s", flush=True)
 
     t0 = time.time()
-    alignments = []
+    aligned_pairs = []
     skipped = 0
     for w, ph in pairs:
         seq = viterbi_align(w, ph, probs)
         if seq is None:
             skipped += 1
             continue
-        alignments.append(seq)
+        aligned_pairs.append((w, ph, seq))
     print(f"Viterbi done in {time.time() - t0:.0f}s "
           f"({skipped} unalignable)", flush=True)
+
+    if a.realign:
+        # Sequitur-style second stage: train a bigram graphone model on
+        # the unigram alignments, realign every word under it.
+        t0 = time.time()
+        uni_counts: Dict = defaultdict(int)
+        big_counts: Dict = defaultdict(lambda: defaultdict(int))
+        for _, _, seq in aligned_pairs:
+            prev = None
+            for g in seq:
+                uni_counts[g] += 1
+                big_counts[prev][g] += 1
+                prev = g
+        n_types = len(uni_counts)
+        changed = 0
+        realigned = []
+        for w, ph, seq in aligned_pairs:
+            seq2 = viterbi_align_bigram(w, ph, probs, big_counts,
+                                        uni_counts, n_types)
+            if seq2 is None:
+                seq2 = seq
+            elif seq2 != seq:
+                changed += 1
+            realigned.append((w, ph, seq2))
+        aligned_pairs = realigned
+        print(f"bigram realignment done in {time.time() - t0:.0f}s "
+              f"({changed}/{len(aligned_pairs)} words changed)",
+              flush=True)
+
+    alignments = [seq for _, _, seq in aligned_pairs]
 
     # graphone vocabulary (BOS/EOS first; epsilon chunks are ordinary ids)
     gset = sorted({g for seq in alignments for g in seq})
