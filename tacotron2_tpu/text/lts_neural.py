@@ -70,22 +70,33 @@ class NeuralLts:
         self.dec_h = self.p["dec_wh"].shape[0]
 
     def _encode(self, ids: np.ndarray) -> np.ndarray:
+        """Encoder states over the FULL padded length (MAX_WORD_LEN).
+
+        The trainer encodes zero-padded batches, so the backward LSTM
+        walks the trailing PAD embeddings before reaching the real
+        letters — its state at the real positions depends on that walk.
+        Inference must replicate the padding exactly (the attention
+        mask hides pad positions from scoring, but not their influence
+        on the bidirectional states); skipping it shifts the encodings
+        enough to break EOS behavior (measured: looping decodes)."""
         p = self.p
-        xs = p["enc_emb"][ids]                       # (L, E)
-        L = xs.shape[0]
+        padded = np.zeros(MAX_WORD_LEN, np.int32)
+        padded[:len(ids)] = ids
+        xs = p["enc_emb"][padded]                    # (Lp, E)
+        Lp = xs.shape[0]
         H = p["enc_fwd_wh"].shape[0]
-        out = np.zeros((L, 2 * H), np.float32)
+        out = np.zeros((Lp, 2 * H), np.float32)
         h = c = np.zeros(H, np.float32)
-        for t in range(L):
+        for t in range(Lp):
             h, c = _lstm_step(p["enc_fwd_wi"], p["enc_fwd_wh"],
                               p["enc_fwd_b"], xs[t], h, c)
             out[t, :H] = h
         h = c = np.zeros(H, np.float32)
-        for t in range(L - 1, -1, -1):
+        for t in range(Lp - 1, -1, -1):
             h, c = _lstm_step(p["enc_bwd_wi"], p["enc_bwd_wh"],
                               p["enc_bwd_b"], xs[t], h, c)
             out[t, H:] = h
-        return out                                   # (L, 2H)
+        return out                                   # (Lp, 2H)
 
     def pronounce(self, word: str, beam: int = 5,
                   max_phones: int = MAX_PHONES) -> Optional[List[str]]:
@@ -95,8 +106,12 @@ class NeuralLts:
         if ids is None or not 1 <= len(ids) <= MAX_WORD_LEN:
             return None
         p = self.p
-        enc = self._encode(ids)                      # (L, 2H)
-        keys = enc @ p["attn_w"]                     # (L, Hd)
+        enc = self._encode(ids)                      # (Lp, 2H)
+        keys = enc @ p["attn_w"]                     # (Lp, Hd)
+        # attention mask: pad positions never receive weight (the
+        # trainer masks scores with -1e9 the same way)
+        score_mask = np.full(enc.shape[0], -1e9, np.float32)
+        score_mask[:len(ids)] = 0.0
         H = self.dec_h
         z0 = np.zeros(H, np.float32)
         # beam entries: (neg logp, phone ids, h, c, ctx)
@@ -109,7 +124,7 @@ class NeuralLts:
                 x = np.concatenate([p["dec_emb"][prev], ctx])
                 h2, c2 = _lstm_step(p["dec_wi"], p["dec_wh"], p["dec_b"],
                                     x, h, c)
-                score = keys @ h2                    # (L,)
+                score = keys @ h2 + score_mask       # (Lp,)
                 a = np.exp(score - score.max())
                 a /= a.sum()
                 ctx2 = a @ enc                       # (2H,)

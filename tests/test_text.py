@@ -184,6 +184,58 @@ class TestCompoundPlausibility:
         assert phones[:2] == ["W", "UH1"] and phones[-1] == "Z"
 
 
+class TestNeuralLts:
+    """The TPU-trained neural LTS (text/lts_neural.py) and its numpy
+    inference against the committed artifact."""
+
+    def test_heldout_words_exact(self):
+        """Holdout words (never in neural OR n-gram training) the
+        committed artifact is known to get exactly right, INCLUDING
+        stress — pins the numpy decode against the trained weights.
+        The critical regression this guards: the encoder must replicate
+        the trainer's zero-padding (the backward LSTM's walk over the
+        trailing pads shapes the real positions' states; dropping it
+        produced looping decodes — see _encode's docstring)."""
+        from tacotron2_tpu.text.lts_model import is_model_holdout
+        from tacotron2_tpu.text.lts_neural import load_default_model
+        m = load_default_model()
+        if m is None:
+            import pytest
+            pytest.skip("neural LTS artifact not shipped")
+        for word, truth in [
+            ("abbreviating",
+             "AH0 B R IY1 V IY0 EY2 T IH0 NG"),
+            ("abductor", "AE0 B D AH1 K T ER0"),
+            ("abelson", "AE1 B IH0 L S AH0 N"),
+        ]:
+            assert is_model_holdout(word)
+            assert m.pronounce(word) == truth.split(), word
+
+    def test_unencodable_words_fall_through(self):
+        from tacotron2_tpu.text.lts_neural import load_default_model
+        m = load_default_model()
+        if m is None:
+            import pytest
+            pytest.skip("neural LTS artifact not shipped")
+        assert m.pronounce("can't") is None       # non a-z
+        assert m.pronounce("x" * 30) is None      # beyond length cap
+
+    def test_cascade_prefers_neural(self):
+        """resolution() reports the model stage for an OOV the neural
+        decoder handles; the kill-switch restores the n-gram path."""
+        from tacotron2_tpu.text.g2p import G2p
+        from tacotron2_tpu.text.lts_neural import load_default_model
+        if load_default_model() is None:
+            import pytest
+            pytest.skip("neural LTS artifact not shipped")
+        g2p = G2p()
+        if g2p._lts_neural is None:
+            import pytest
+            pytest.skip("neural LTS inactive")
+        phones = g2p._model_lts("brillig")
+        assert phones and any(p.endswith("1") for p in phones)
+
+
 class TestG2pHeldOutAccuracy:
     """Tracked floors for the OOV cascade, measured by holding real
     CMUdict words out of the lexicon (tools/eval_g2p.py).  r2 baseline on
@@ -203,12 +255,14 @@ class TestG2pHeldOutAccuracy:
     text/lts_model.py), ordered before compound splitting: **67.25% /
     8.36% at n=8000** (stress-blind; 61.38% with stress), scored ONLY
     on the model's own 10% CMUdict training holdout so no evaluated
-    word was n-gram training data.  r5 changed the DECODER, not the
-    counts: Kneser-Ney-style absolute discounting (D=0.9) replaced the
-    Witten-Bell recursion and the default beam widened 12->24 —
-    measured **72.1% / 6.4% at n=1000 seed 0** (r4 recursion on the
-    same sample: 67.8% with the wide beam, 67.05% at r4 defaults) and
-    69.8% / 7.6% on this test's exact sample (seed 1, n=600).  Floors
+    word was n-gram training data.  r5 improved BOTH stages of the
+    fallback: (a) the graphone decoder — Kneser-Ney-style absolute
+    discounting (D=0.9) + beam 24 over the unchanged counts, 67.25% ->
+    68.87% at n=8000 — and (b) a TPU-trained NEURAL seq2seq LTS
+    (tools/train_lts_neural.py, numpy inference in text/lts_neural.py)
+    ordered ahead of the n-gram: full cascade **73.16% / 6.40% at
+    n=8000** (69.30% with stress) and **74.17% / 6.42%** on this test's
+    exact sample (seed 1, n=600) — the g2p_en neural-LTS class.  Floors
     sit below the measured values so normal lexicon drift doesn't
     flake, but any regression toward the rule-only LTS trips them."""
 
@@ -218,9 +272,9 @@ class TestG2pHeldOutAccuracy:
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
         from tools.eval_g2p import evaluate
         stats, _ = evaluate(n=600, seed=1, n_misses=0)
-        # measured 69.83% / 7.64% on this exact sample (seed 1, n=600)
-        assert stats["word_acc"] > 0.64, stats
-        assert stats["per"] < 0.10, stats
+        # measured 74.17% / 6.42% on this exact sample (seed 1, n=600)
+        assert stats["word_acc"] > 0.68, stats
+        assert stats["per"] < 0.085, stats
         # morphology stage stays strong
         st = stats["by_stage"].get("morphology", {"n": 0, "word_ok": 0})
         if st["n"] >= 20:

@@ -92,7 +92,8 @@ def init_params(key, n_phones: int):
     }
 
 
-def make_fns(n_phones: int):
+def make_fns(n_phones: int, dropout: float = 0.0,
+             label_smooth: float = 0.0):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -122,18 +123,22 @@ def make_fns(n_phones: int):
         _, hb = lax.scan(bwd, (z, z), jnp.swapaxes(xs, 0, 1), reverse=True)
         return jnp.concatenate([hf, hb], -1).swapaxes(0, 1)  # (B, L, 2H)
 
-    def dec_step(p, enc, keys, lmask, prev_ids, h, c, ctx):
+    def dec_step(p, enc, keys, lmask, prev_ids, h, c, ctx, drop=None):
         x = jnp.concatenate([p["dec_emb"][prev_ids], ctx], -1)
         h, c = lstm_step(p["dec_wi"], p["dec_wh"], p["dec_b"], x, h, c)
-        score = jnp.einsum("blh,bh->bl", keys, h)
+        # dropout on the projection view only; the carried state stays
+        # clean (per-step recurrent-state dropout destabilizes training)
+        hd = h * drop if drop is not None else h
+        score = jnp.einsum("blh,bh->bl", keys, hd)
         score = jnp.where(lmask, score, -1e9)
         a = jax.nn.softmax(score, -1)
         ctx = jnp.einsum("bl,blh->bh", a, enc)
-        logits = jnp.concatenate([h, ctx], -1) @ p["out_w"] + p["out_b"]
+        logits = jnp.concatenate([hd, ctx], -1) @ p["out_w"] + p["out_b"]
         return h, c, ctx, logits
 
-    def forward_tf(p, letters, targets):
-        """Teacher-forced logits (B, P, V)."""
+    def forward_tf(p, letters, targets, rng=None):
+        """Teacher-forced logits (B, P, V).  ``rng`` enables decoder
+        dropout (training only)."""
         enc = encode(p, letters)
         keys = enc @ p["attn_w"]
         lmask = letters > 0
@@ -142,21 +147,32 @@ def make_fns(n_phones: int):
             [jnp.full((B, 1), BOS, jnp.int32), targets[:, :-1]], 1)
         z = jnp.zeros((B, DEC_H))
         ctx0 = jnp.zeros((B, 2 * ENC_H))
+        if rng is not None and dropout > 0.0:
+            keep = 1.0 - dropout
+            masks = (jax.random.bernoulli(
+                rng, keep, (targets.shape[1], B, DEC_H)) / keep)
+        else:
+            masks = jnp.ones((targets.shape[1], B, DEC_H))
 
-        def step(carry, prev_t):
+        def step(carry, xs):
+            prev_t, m = xs
             h, c, ctx = carry
             h, c, ctx, logits = dec_step(p, enc, keys, lmask, prev_t,
-                                         h, c, ctx)
+                                         h, c, ctx, drop=m)
             return (h, c, ctx), logits
 
-        _, logits = lax.scan(step, (z, z, ctx0), jnp.swapaxes(prev, 0, 1))
+        _, logits = lax.scan(step, (z, z, ctx0),
+                             (jnp.swapaxes(prev, 0, 1), masks))
         return jnp.swapaxes(logits, 0, 1)
 
-    def loss_fn(p, letters, targets):
-        logits = forward_tf(p, letters, targets)
+    def loss_fn(p, letters, targets, rng):
+        logits = forward_tf(p, letters, targets, rng)
         mask = targets != PAD
         lp = jax.nn.log_softmax(logits, -1)
         nll = -jnp.take_along_axis(lp, targets[..., None], -1)[..., 0]
+        if label_smooth > 0.0:
+            nll = ((1.0 - label_smooth) * nll
+                   - label_smooth * lp.mean(-1))
         return (nll * mask).sum() / mask.sum()
 
     def greedy(p, letters):
@@ -193,6 +209,10 @@ def main():
     ap.add_argument("--eval-n", type=int, default=1500)
     ap.add_argument("--limit", type=int, default=0,
                     help="cap training words (smoke tests)")
+    ap.add_argument("--dropout", type=float, default=0.25,
+                    help="decoder projection-view dropout")
+    ap.add_argument("--smooth", type=float, default=0.1,
+                    help="label smoothing")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "tacotron2_tpu", "text", "data", "lts_neural.npz"))
@@ -211,7 +231,7 @@ def main():
     print(f"train words: {n}  holdout: {len(hold)}  phone vocab: {V}",
           flush=True)
 
-    loss_fn, greedy = make_fns(V)
+    loss_fn, greedy = make_fns(V, dropout=a.dropout, label_smooth=a.smooth)
     params = init_params(jax.random.PRNGKey(a.seed), V)
     steps_per_epoch = n // a.batch
     total_steps = a.epochs * steps_per_epoch
@@ -222,8 +242,8 @@ def main():
     opt_state = tx.init(params)
 
     @jax.jit
-    def train_step(params, opt_state, lb, tb):
-        loss, grads = jax.value_and_grad(loss_fn)(params, lb, tb)
+    def train_step(params, opt_state, lb, tb, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, lb, tb, rng)
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
@@ -268,8 +288,10 @@ def main():
         tot = 0.0
         for s in range(steps_per_epoch):
             idx = jnp.asarray(perm[s * a.batch:(s + 1) * a.batch])
+            step_rng = jax.random.fold_in(
+                jax.random.PRNGKey(a.seed + 1), epoch * steps_per_epoch + s)
             params, opt_state, loss = train_step(
-                params, opt_state, lb_dev[idx], tb_dev[idx])
+                params, opt_state, lb_dev[idx], tb_dev[idx], step_rng)
             tot += float(loss)
         msg = (f"epoch {epoch + 1}/{a.epochs}: loss "
                f"{tot / steps_per_epoch:.4f} ({time.time() - te:.1f}s)")
