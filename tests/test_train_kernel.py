@@ -202,3 +202,27 @@ class TestEnabledGating:
         assert not train_megakernel_enabled(off, 4, 32, jnp.float32)
         monkeypatch.delenv("TACOTRON2_MEGA_TRAIN")
         assert not train_megakernel_enabled(off, 4, 32, jnp.float32)
+
+    def test_vmem_falloff_warns(self, monkeypatch):
+        """r5: the training VMEM gate logs the fall-off to the ~2.5x
+        slower split-BPTT scan (measured at B=128/T_enc=256), matching
+        the decode kernel's r4-item-7 warning."""
+        import logging
+
+        from tacotron2_tpu.config import ModelConfig as MC
+        from tacotron2_tpu.ops import decoder_train_kernel as tk
+        monkeypatch.setattr(tk.jax, "default_backend", lambda: "tpu")
+        monkeypatch.delenv("TACOTRON2_MEGA_TRAIN", raising=False)
+        monkeypatch.setenv("TACOTRON2_FUSED_ATTENTION", "1")
+        tk._warn_train_vmem_falloff.cache_clear()
+        records = []
+        handler = logging.Handler()
+        handler.emit = lambda r: records.append(r)
+        logging.getLogger("tacotron2_tpu").addHandler(handler)
+        try:
+            assert not tk.train_megakernel_enabled(MC(), 128, 256,
+                                                   jnp.bfloat16)
+        finally:
+            logging.getLogger("tacotron2_tpu").removeHandler(handler)
+        assert any("TRAIN megakernel VMEM gate" in r.getMessage()
+                   for r in records), records
