@@ -492,6 +492,42 @@ def main():
         log(f"train step DEVICE time {dev_step:.3f}s = "
             f"{b_tr * t_dec_tr / dev_step:.0f} frames/s on-chip")
 
+    # B=96: the kernel-efficiency optimum (BASELINE.md r5 roofline —
+    # the reverse kernel's VMEM double-buffering knee sits between
+    # B=96 and 128, so 96 is the best measured on-chip MFU).
+    try:
+        b_96 = 96
+        tb96 = stage({
+            "text": rng.integers(1, 72, (b_96, t_enc_tr)).astype(np.int32),
+            "text_lengths": np.full((b_96,), t_enc_tr, np.int32),
+            "mel": rng.standard_normal(
+                (b_96, cfg.model.n_mels, t_dec_tr)).astype(np.float32) - 5.0,
+            "mel_lengths": np.full((b_96,), t_dec_tr, np.int32),
+            "speaker_ids": np.zeros((b_96,), np.int32),
+        })
+        tstate96 = create_train_state(cfg, seed=1)
+        tstate96, l96, _ = train_step(tstate96, tb96, cfg=cfg, tx=tx,
+                                      use_postnet=True,
+                                      sigma_warmup_steps=sigma)
+        float(l96.total)   # compile
+
+        def traced_step96():
+            nonlocal tstate96
+            tstate96, l, _ = train_step(tstate96, tb96, cfg=cfg, tx=tx,
+                                        use_postnet=True,
+                                        sigma_warmup_steps=sigma)
+            float(l.total)
+
+        dev96 = device_time(traced_step96, "train_step", n=2)
+        if dev96 is not None:
+            secondary["train_step_device_sec_b96"] = round(dev96, 4)
+            secondary["train_frames_per_sec_b96_device"] = round(
+                b_96 * t_dec_tr / dev96)
+            log(f"train step B=96 DEVICE time {dev96:.3f}s = "
+                f"{b_96 * t_dec_tr / dev96:.0f} frames/s on-chip")
+    except Exception as e:
+        log(f"B=96 train-step bench skipped: {e}")
+
     # ---- early gate-stop decode (default-run; VERDICT r2 item 9).  The
     # headline stays the deterministic 1000-step worst case; this tracks
     # the OTHER behavior class — a decode whose gate fires early — via the
