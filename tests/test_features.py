@@ -264,6 +264,33 @@ class TestSynthCorpusTool:
         first = open(os.path.join(out, "metadata.csv")).readline()
         assert first.count("|") == 2  # LJSpeech pipe format
 
+    def test_prosody_variation(self):
+        """r5: --prosody adds rate/duration jitter, pitch wobble and a
+        noise floor (a harder, more speech-like duration problem), while
+        prosody=0 reproduces the r4 deterministic corpus BIT-FOR-BIT
+        (identical rng consumption), keeping every committed evidence
+        corpus regenerable."""
+        import importlib.util
+        import os
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "msc", os.path.join(repo, "tools", "make_synth_corpus.py"))
+        msc = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(msc)
+        ph = "HH AH0 L OW1 W ER1 L D".split()
+        base = msc.synth_utterance(ph, np.random.default_rng(7))
+        again = msc.synth_utterance(ph, np.random.default_rng(7),
+                                    prosody=0.0)
+        np.testing.assert_array_equal(base, again)
+        v1 = msc.synth_utterance(ph, np.random.default_rng(7), prosody=0.2)
+        v2 = msc.synth_utterance(ph, np.random.default_rng(8), prosody=0.2)
+        assert len(v1) != len(v2)          # per-utterance rate/jitter
+        assert len(v1) != len(base)
+        # durations stay centered: within ±25% of the deterministic length
+        assert 0.75 < len(v1) / len(base) < 1.25
+        # noise floor present in the silence-free leading samples
+        assert np.abs(v1[:64]).max() > 0.0
+
     def test_fingerprint_stable_across_runs(self):
         """crc32-keyed formants: same phoneme -> same params regardless of
         interpreter hash seed (regression for the salted-hash bug)."""
