@@ -248,17 +248,28 @@ def main():
 
             trained_decode("Warm up the trained program first.")  # compile
             trained_decode("Let the loaded executable settle in.")
-            t0 = time.time()
-            n_t = trained_decode("The quick brown fox jumps over the "
-                                 "lazy dog near the river bank.")
-            wall_t = time.time() - t0
-            rtf_t = wall_t / max(n_t, 1) / (acfg.hop_length
-                                            / acfg.sampling_rate)
+            full_texts = ["The quick brown fox jumps over the lazy dog "
+                          "near the river bank.",
+                          "A golden meadow hums while winter thunder "
+                          "rolls far away tonight.",
+                          "Gentle whispers travel down the hollow "
+                          "valley before the dawn."]
+            walls_ft, n_t = [], 0
+            for txt in full_texts:
+                t0 = time.time()
+                n_t = trained_decode(txt)
+                walls_ft.append(time.time() - t0)
+            frame_sec = acfg.hop_length / acfg.sampling_rate
+            rtf_t = min(walls_ft) / max(n_t, 1) / frame_sec
             log(f"trained ckpt: gate stopped at {n_t} frames, wall "
-                f"{wall_t:.3f}s -> RTF {rtf_t:.5f} (fused program still "
-                f"vocodes the full {max_steps}-frame static buffer, so "
-                f"short utterances pay a fixed GL tail)")
+                f"{min(walls_ft):.3f}s min / "
+                f"{np.median(walls_ft):.3f}s median -> RTF {rtf_t:.5f} "
+                f"(fused program still vocodes the full "
+                f"{max_steps}-frame static buffer, so short utterances "
+                f"pay a fixed GL tail)")
             secondary["rtf_batch1_trained_gate_stop"] = round(rtf_t, 6)
+            secondary["rtf_batch1_trained_gate_stop_median"] = round(
+                float(np.median(walls_ft)) / max(n_t, 1) / frame_sec, 6)
             secondary["trained_gate_stop_frames"] = n_t
 
             # Candidate texts for the PROPORTIONAL one-dispatch path —
